@@ -121,7 +121,7 @@ class MulHasher(KmerHasher):
     def __init__(self, k: int, canonical: bool = False, seed: int | None = None):
         super().__init__(k, canonical, seed)
         self.mul_const = (
-            MUL_CONST if seed is None else np.uint32(splitmix64(seed) | 1)
+            MUL_CONST if seed is None else np.uint32((splitmix64(seed) & 0xFFFFFFFF) | 1)
         )
         self.rot_offset = NT_ROT_OFFSET
 
