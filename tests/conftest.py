@@ -1,7 +1,9 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere; unit tests are hermetic
-on CPU while the real TPU chip is reserved for bench runs.
+The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS from the
+environment, so the platform must be forced via jax.config before any
+computation. Unit tests are hermetic on CPU; the real TPU chip is
+reserved for bench runs.
 """
 
 import os
@@ -12,3 +14,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
