@@ -61,19 +61,22 @@ def main() -> None:
     t2 = time.perf_counter()
     print(f"[bench] compile+first run: {t2 - t1:.2f}s", file=sys.stderr)
 
-    # round-trip latency of a sync fetch, to subtract from one-shot timings
-    t = time.perf_counter()
-    int(res[-2])
-    rtt = time.perf_counter() - t
-    print(f"[bench] sync fetch rtt: {rtt * 1e3:.1f}ms", file=sys.stderr)
-
-    times = []
-    for _ in range(repeats):
+    # The tunnel adds ~30ms fixed latency per synchronized dispatch; enqueue
+    # all repeats back-to-back (device executes them sequentially) and sync
+    # once, so the fixed cost is amortized: per-run = (batch_m - batch_1)/(m-1).
+    def batch(m):
         t = time.perf_counter()
-        res = sk.sketch_device(*inputs)
-        int(res[-2])  # host sync
-        times.append(time.perf_counter() - t - rtt)
-    med = sorted(times)[len(times) // 2]
+        for _ in range(m):
+            r = sk.sketch_device(*inputs)
+        int(r[-2])  # host sync
+        return time.perf_counter() - t
+
+    batch(1)  # warm
+    t1 = min(batch(1) for _ in range(3))
+    tm = min(batch(repeats + 1) for _ in range(3))
+    per_run = (tm - t1) / repeats
+    times = [per_run]
+    med = per_run
     count = int(res[-2])
     density = count / (n - k - w + 2)
     print(

@@ -55,21 +55,24 @@ def _device_sketch(packed, n, ambiguous_packed, table, mul_const,
     hasher = TracedHasher(kind, k, canonical, rot_offset, table, mul_const)
     CW = R * C  # windows (and chars) advanced per chunk
     FLAT = pipeline.flat_length(C, R, k + w - 1)
-    FLATB = FLAT // 4  # FLAT is a multiple of 4 by construction (C pow2 >= 16)
     cap = nchunks * CW + CW  # slack: each chunk writes a full CW block
     out0 = jnp.full(cap, INVALID, U32)
     idx0 = jnp.full(cap if mode == MODE_SUPERKMERS else 1, INVALID, U32)
 
+    # Unpack ONCE up front: fusing the strided 2-bit decode into each chunk's
+    # lane-matrix build makes XLA re-materialize it with hostile layouts
+    # (~0.4 ns/bp measured); a single standalone unpack pass is ~free.
+    codes_all = unpack_2bit(packed)
+    amb_all = unpack_2bit(ambiguous_packed) & jnp.uint8(1) if skip_ambiguous else None
+
     def body(c, state):
         out, idx, total, prev_raw = state
-        s = c * CW  # char & window offset of this chunk (CW % 4 == 0)
-        chunk_p = jax.lax.dynamic_slice(packed, (s // 4,), (FLATB,))
-        codes = unpack_2bit(chunk_p)
+        s = c * CW  # char & window offset of this chunk
+        codes = jax.lax.dynamic_slice(codes_all, (s,), (FLAT,))
         n_loc = jnp.clip(n - s, 0, FLAT)
         amb = None
         if skip_ambiguous:
-            amb_p = jax.lax.dynamic_slice(ambiguous_packed, (s // 4,), (FLATB,))
-            amb = unpack_2bit(amb_p) & jnp.uint8(1)
+            amb = jax.lax.dynamic_slice(amb_all, (s,), (FLAT,))
         res = pipeline._pipeline_chunk(
             codes, n_loc, s.astype(U32), prev_raw, amb,
             k, w, hasher, mode, skip_ambiguous, C, R,

@@ -1,0 +1,114 @@
+"""Differential tests for the three scale drivers.
+
+- ops.chunked.sketch: host loop over fixed chunks (dedup seam state).
+- ops.device_driver.DeviceSketcher: whole-sequence single-dispatch loop.
+- parallel.shard.sharded_sketch: shard_map over the 8-device CPU mesh
+  with the ppermute seam exchange.
+
+All must be bit-identical to the NumPy oracle, including across chunk and
+device seams (the reference's cross-lane boundary dedup,
+/root/reference/src/collect.rs:252-272).
+"""
+
+import numpy as np
+import pytest
+
+from simd_minimizers_tpu.hashers import NtHasher
+from simd_minimizers_tpu.ops import chunked, oracle, pipeline
+from simd_minimizers_tpu.ops.device_driver import DeviceSketcher
+from simd_minimizers_tpu.parallel import shard
+
+RNG = np.random.default_rng(0xC0FFEE)
+
+
+def _want(codes, k, w, h, mode="minimizers", ambiguous=None):
+    sel = oracle.selected_stream(codes, k, w, h, ambiguous=ambiguous)
+    if mode == pipeline.MODE_SUPERKMERS:
+        return oracle.collect_and_dedup_with_index(sel)
+    if mode in (pipeline.MODE_CLOSED_SYNCMERS, pipeline.MODE_OPEN_SYNCMERS):
+        return oracle.collect_syncmers(sel, w, mode == pipeline.MODE_OPEN_SYNCMERS)
+    return oracle.collect_and_dedup(sel, skip_sentinel=ambiguous is not None)
+
+
+@pytest.mark.parametrize("n", [5000, 16384, 20000])
+def test_chunked_matches_oracle(n):
+    k, w = 21, 11
+    codes = RNG.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=True)
+    got = chunked.sketch(codes, k, w, h, chunk_windows=4096)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h))
+
+
+def test_chunked_superkmers_across_seams():
+    k, w = 5, 7
+    codes = RNG.integers(0, 4, 10000, dtype=np.uint8)
+    h = NtHasher(k)
+    got_pos, got_idx = chunked.sketch(
+        codes, k, w, h, mode=pipeline.MODE_SUPERKMERS, chunk_windows=2048
+    )
+    want_pos, want_idx = _want(codes, k, w, h, mode=pipeline.MODE_SUPERKMERS)
+    np.testing.assert_array_equal(got_pos, want_pos)
+    np.testing.assert_array_equal(got_idx, want_idx)
+
+
+@pytest.mark.parametrize("mode", [
+    pipeline.MODE_MINIMIZERS,
+    pipeline.MODE_SUPERKMERS,
+    pipeline.MODE_CLOSED_SYNCMERS,
+    pipeline.MODE_OPEN_SYNCMERS,
+])
+def test_device_sketcher_modes(mode):
+    k, w = 5, 7
+    h = NtHasher(k, canonical=True)
+    sk = DeviceSketcher(k, w, h, mode=mode, C=64, R=8, nchunks=4)
+    for n in [0, 10, 300, 2048 - 5, 2048]:
+        codes = RNG.integers(0, 4, n, dtype=np.uint8)
+        got = sk.sketch(codes)
+        if n < k + w - 1:
+            want = (
+                (np.zeros(0, np.uint32),) * 2
+                if mode == pipeline.MODE_SUPERKMERS
+                else np.zeros(0, np.uint32)
+            )
+        else:
+            want = _want(codes, k, w, h, mode=mode)
+        if mode == pipeline.MODE_SUPERKMERS:
+            np.testing.assert_array_equal(got[0], want[0], err_msg=f"n={n}")
+            np.testing.assert_array_equal(got[1], want[1], err_msg=f"n={n}")
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+
+
+def test_device_sketcher_skip_ambiguous():
+    k, w = 5, 7
+    h = NtHasher(k, canonical=True)
+    sk = DeviceSketcher(k, w, h, C=64, R=8, nchunks=4, skip_ambiguous=True)
+    n = 1500
+    codes = RNG.integers(0, 4, n, dtype=np.uint8)
+    amb = (RNG.random(n) < 0.02).astype(np.uint8)
+    got = sk.sketch(codes, amb)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h, ambiguous=amb))
+
+
+@pytest.mark.parametrize("n", [1000, 4096, 5000])
+@pytest.mark.parametrize("canonical", [False, True])
+def test_sharded_matches_oracle(n, canonical):
+    k, w = 21, 11
+    codes = RNG.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=canonical)
+    got = shard.sharded_sketch(codes, k, w, h, C=64)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h))
+
+
+def test_sharded_superkmers_and_syncmers():
+    k, w = 5, 7
+    codes = RNG.integers(0, 4, 3000, dtype=np.uint8)
+    h = NtHasher(k)
+    got_pos, got_idx = shard.sharded_sketch(
+        codes, k, w, h, mode=pipeline.MODE_SUPERKMERS, C=64
+    )
+    want_pos, want_idx = _want(codes, k, w, h, mode=pipeline.MODE_SUPERKMERS)
+    np.testing.assert_array_equal(got_pos, want_pos)
+    np.testing.assert_array_equal(got_idx, want_idx)
+    got = shard.sharded_sketch(codes, k, w, h, mode=pipeline.MODE_CLOSED_SYNCMERS, C=64)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h, mode=pipeline.MODE_CLOSED_SYNCMERS))
