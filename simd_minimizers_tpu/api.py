@@ -90,8 +90,8 @@ class Builder:
 
     # -- execution ----------------------------------------------------------
     def run(self, seq, ambiguous: np.ndarray | None = None) -> Output:
-        """Accelerated (JAX) run."""
-        from .ops import pipeline  # deferred: keep oracle paths jax-free
+        """Accelerated run (fused Pallas kernel on TPU, XLA pipeline else)."""
+        from .ops import backend, pipeline  # deferred: keep oracle paths jax-free
 
         seq = as_seq(seq)
         h = self._resolved_hasher()
@@ -102,12 +102,12 @@ class Builder:
                 if self.syncmer == _SYNCMER_OPEN
                 else pipeline.MODE_CLOSED_SYNCMERS
             )
-            pos = pipeline.run_pipeline(codes, self.k, self.w, h, mode=mode, ambiguous_np=ambiguous)
+            pos = backend.sketch(codes, self.k, self.w, h, mode=mode, ambiguous_np=ambiguous)
             return Output(self._out_length, seq, pos, canonical=self.canonical)
         if self._super_kmers:
-            pos, idx = pipeline.run_pipeline(codes, self.k, self.w, h, mode=pipeline.MODE_SUPERKMERS)
+            pos, idx = backend.sketch(codes, self.k, self.w, h, mode=pipeline.MODE_SUPERKMERS)
             return Output(self._out_length, seq, pos, idx, canonical=self.canonical)
-        pos = pipeline.run_pipeline(codes, self.k, self.w, h, ambiguous_np=ambiguous)
+        pos = backend.sketch(codes, self.k, self.w, h, ambiguous_np=ambiguous)
         return Output(self._out_length, seq, pos, canonical=self.canonical)
 
     def run_scalar(self, seq, ambiguous: np.ndarray | None = None) -> Output:

@@ -1,0 +1,61 @@
+"""Backend dispatch: fused Pallas kernel on TPU, XLA pipeline elsewhere.
+
+The two backends are bit-identical (enforced by tests/test_fused.py and
+tests/test_pipeline_vs_oracle.py); the fused kernel is ~4x faster on TPU
+(0.31 vs 1.16 ns/bp canonical k=21 w=11 on v5e).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..hashers import KmerHasher
+from . import pipeline
+
+
+@functools.cache
+def _use_fused() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _bucket_G(G: int) -> int:
+    """Round the grid size up to a power of two to bound recompiles."""
+    return 1 << (G - 1).bit_length() if G > 1 else 1
+
+
+def sketch(
+    codes_np: np.ndarray,
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = pipeline.MODE_MINIMIZERS,
+    ambiguous_np: np.ndarray | None = None,
+):
+    """Positions (or (positions, superkmer indices)) via the best backend."""
+    n = int(codes_np.shape[0])
+    if _use_fused() and n < (1 << 31):
+        from . import fused
+
+        l = k + w - 1
+        if n >= l:
+            if mode == pipeline.MODE_OPEN_SYNCMERS:
+                assert w % 2 == 1, "open syncmers require odd w"
+            if hasher.canonical:
+                assert l % 2 == 1, (
+                    f"window length l={l} must be odd to determine strand"
+                )
+        nw = max(n - l + 1, 1)
+        G = _bucket_G(-(-nw // (fused.RB * fused.DEF_C)))
+        return fused.fused_sketch(
+            codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np, G=G
+        )
+    return pipeline.run_pipeline(
+        codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np
+    )

@@ -1,0 +1,518 @@
+"""Fused Pallas TPU kernel: the whole minimizer pipeline in one pass.
+
+One `pallas_call` computes, per grid step, a block of RB lane-rows x C
+owned windows entirely in VMEM — table lookup, rolling-hash-equivalent
+windowed XOR, left/right sliding-window minima, strand rule, blend, seam
+dedup, stream compaction — and DMA-appends the compacted positions to the
+output at a dynamically accumulated offset. The TPU grid is sequential, so
+a running total and the dedup seam value are carried across steps in SMEM
+scratch, exactly like the reference's streaming state
+(/root/reference/src/collect.rs:252-272), and each block's INVALID tail is
+overwritten by the next block's append (same overwrite-style concat the
+XLA driver uses).
+
+HBM traffic is the speed-of-light bound: read 1 B/bp of codes, write
+~4 B/window-kept positions. All intermediates live in VMEM.
+
+Semantics are bit-identical to ops/pipeline.py and the NumPy oracle:
+top-16-bit hash comparison, leftmost (and rightmost for the canonical
+right arm) tie-breaks (/root/reference/src/sliding_min.rs:104-106,
+190-192), strict-majority-TG strand rule (/root/reference/src/canonical.rs:
+12-31), adjacent-position dedup, closed/open syncmer selection
+(/root/reference/src/syncmers.rs:112-120), super-k-mer first-window
+indices (/root/reference/src/collect.rs:106-110).
+
+Positions are int32-safe: one fused call handles n < 2^31 chars; larger
+inputs go through the sharded / chunked drivers which add u32 offsets.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..hashers import KmerHasher
+from .pipeline import (
+    INVALID_INT,
+    SKIPPED_INT,
+    MODE_CLOSED_SYNCMERS,
+    MODE_MINIMIZERS,
+    MODE_OPEN_SYNCMERS,
+    MODE_SUPERKMERS,
+    hasher_jit_args,
+)
+
+U32 = jnp.uint32
+I32 = jnp.int32
+INVALID = np.uint32(INVALID_INT)
+SKIPPED = np.uint32(SKIPPED_INT)
+TOP16 = np.uint32(0xFFFF_0000)
+
+# Block geometry: RB lane-rows of C owned windows per grid step.
+RB = 8
+DEF_C = 4096
+
+
+def _rotl(x, r):
+    """rotl32 of uint32 x by r (static int or uint32 array mod 32)."""
+    if isinstance(r, int):
+        r %= 32
+        if r == 0:
+            return x
+        return (x << U32(r)) | (x >> U32(32 - r))
+    r = r % U32(32)
+    left = x << r
+    right = jnp.where(r == 0, U32(0), x >> (U32(32) - r))
+    return left | right
+
+
+def _win_fold(x, width, op, S):
+    """op over sliding windows of `width`: out[:, i] = op(x[:, i..i+width-1]).
+
+    x: (RB, S_pad) with at least S valid columns; result valid for
+    S - width + 1 columns. Binary doubling on static lane slices.
+    """
+    out_len = x.shape[1] - width + 1
+    acc = None
+    done = 0
+    part = x
+    d = 1
+    while True:
+        if width & d:
+            seg = part[:, done : done + out_len]
+            acc = seg if acc is None else op(acc, seg)
+            done += d
+        if d * 2 > width:
+            break
+        L = part.shape[1] - d
+        part = op(part[:, :L], part[:, d : d + L])
+        d *= 2
+    return acc
+
+
+def _win_lex_min(hv, pos, w, right_tie):
+    """Sliding-window min over (hash, pos), reference tie semantics."""
+
+    def comb(a, b):
+        ah, ap = a
+        bh, bp = b
+        if right_tie:
+            better = (bh < ah) | ((bh == ah) & (bp > ap))
+        else:
+            better = (bh < ah) | ((bh == ah) & (bp < ap))
+        return jnp.where(better, bh, ah), jnp.where(better, bp, ap)
+
+    f = (hv, pos)
+    p = 1
+    while p * 2 <= w:
+        L = f[0].shape[1] - p
+        f = comb((f[0][:, :L], f[1][:, :L]), (f[0][:, p : p + L], f[1][:, p : p + L]))
+        p *= 2
+    C_out = f[0].shape[1] - (w - p)
+    _, wpos = comb(
+        (f[0][:, :C_out], f[1][:, :C_out]),
+        (f[0][:, w - p : w - p + C_out], f[1][:, w - p : w - p + C_out]),
+    )
+    return wpos
+
+
+def _row_shift_down(x, q):
+    """Rows move up by q in flat order (row r receives row r+q); bottom wraps."""
+    if q == 0:
+        return x
+    return jnp.concatenate([x[q:], x[:q]], axis=0)
+
+
+def _roll_flat_left(x, d, C):
+    """Roll (RB, C) left by d in row-major flat order (wrap region is dead)."""
+    if d % C == 0:
+        return _row_shift_down(x, d // C)
+    down = _row_shift_down(x, 1)
+    return jnp.concatenate([x[:, d:], down[:, :d]], axis=1)
+
+
+def _flat_cumsum(keep, RB_, C):
+    """Inclusive cumsum of (RB, C) int32 in row-major flat order."""
+    x = keep
+    d = 1
+    while d < C:
+        x = x + jnp.concatenate([jnp.zeros((RB_, d), I32), x[:, :-d]], axis=1)
+        d *= 2
+    tot = x[:, C - 1 : C]
+    carry = tot
+    ri = jax.lax.broadcasted_iota(I32, (RB_, 1), 0)
+    d = 1
+    while d < RB_:
+        shifted = jnp.where(ri >= d, pltpu.roll(carry, d, axis=0), 0)
+        carry = carry + shifted
+        d *= 2
+    # carry is inclusive row-total cumsum; make it exclusive
+    return x + (carry - tot)
+
+
+def _butterfly(planes, shift, C):
+    """Left-pack live elements (shift>0 or live-at-rest) of flat (RB,C) planes.
+
+    planes: list of uint32 arrays; dead slots must hold INVALID and shift 0.
+    Monotone shifts guarantee no collisions (see ops/layout.butterfly_pack).
+    """
+    RB_ = planes[0].shape[0]
+    s = shift
+    total = RB_ * C
+    d = 1
+    while d < total:
+        ss = _roll_flat_left(s, d, C)
+        take = (ss & d) != 0
+        hole = ((s & d) != 0) & (~take)
+        new_planes = []
+        for x in planes:
+            xs = _roll_flat_left(x, d, C)
+            new_planes.append(jnp.where(take, xs, jnp.where(hole, INVALID, x)))
+        planes = new_planes
+        s = jnp.where(take, ss - d, jnp.where(hole, 0, s))
+        d *= 2
+    return planes
+
+
+def _pack_fold(cs, J, msb):
+    """Windowed 2-bit pack over J chars per row (exact width, doubling).
+
+    msb: out[i] = sum_{j<J} cs[i+j] << (30-2j); else LSB-first << (2j).
+    Result columns beyond S-J+1 are garbage (callers slice).
+    """
+
+    out_len = cs.shape[1] - J + 1
+    acc = None
+    done = 0
+    part = (cs << U32(30)) if msb else cs  # width-1 pack
+    d = 1
+    while True:
+        if J & d:
+            seg = part[:, done : done + out_len]
+            if done:
+                seg = (seg >> U32(2 * done)) if msb else (seg << U32(2 * done))
+            acc = seg if acc is None else acc | seg
+            done += d
+        if d * 2 > J:
+            break
+        L = part.shape[1] - d
+        nxt = part[:, d : d + L]
+        part = part[:, :L] | ((nxt >> U32(2 * d)) if msb else (nxt << U32(2 * d)))
+        d *= 2
+    return acc
+
+
+def _hash_windows(M_u32, hasher_kind, canonical, rot_offset, k, tab, mul_const, nk_cols):
+    """uint32 kmer hashes for nk_cols kmers from the (RB, SP) u32 code block."""
+    SP = M_u32.shape[1]
+    p = jax.lax.broadcasted_iota(I32, (RB, SP), 1).astype(U32)  # column index
+    if hasher_kind == "antilex":
+        c = M_u32 & U32(3)
+        J = min(k, 16)
+        h = ~_pack_fold(c, J, msb=True)
+        if canonical:
+            cc = c ^ U32(2)
+            # ra[i] = sum_{j<J} cc[i+k-1-j] << (30-2j)
+            #       = LSBpack_J(cc)[i + k - J] << (32 - 2J)
+            Z = _pack_fold(cc, J, msb=False)
+            sh = k - J
+            if sh:
+                Z = jnp.concatenate([Z[:, sh:], Z[:, :sh]], axis=1)
+            ra = Z << U32(32 - 2 * J) if J < 16 else Z
+            h = h ^ (~ra)
+        return h[:, :nk_cols]
+    if hasher_kind == "nt":
+        c = (M_u32 & U32(3)).astype(I32)
+        b0 = (c & 1) != 0
+        b1 = (c & 2) != 0
+        t0, t1, t2, t3 = (tab[i] for i in range(4))
+        vals = jnp.where(b1, jnp.where(b0, t3, t2), jnp.where(b0, t1, t0))
+        cvals = jnp.where(b1, jnp.where(b0, t1, t0), jnp.where(b0, t3, t2))
+    else:  # mul
+        cu = M_u32
+        vals = (cu + U32(1)) * mul_const
+        cvals = ((cu ^ U32(2)) + U32(1)) * mul_const
+    u = _rotl(vals, (p + U32(rot_offset)) % U32(32))
+    X = _win_fold(u, k, jnp.bitwise_xor, None)
+    i = p[:, : X.shape[1]] % U32(32)
+    h = _rotl(X, (U32(32) - i) % U32(32))
+    if canonical:
+        ur = _rotl(cvals, (U32((k - 1 + rot_offset) % 32) - p) % U32(32))
+        Xr = _win_fold(ur, k, jnp.bitwise_xor, None)
+        h = h ^ _rotl(Xr, i)
+    return h[:, :nk_cols]
+
+
+TAIL = 1024  # u32 tile (8, 128): all HBM DMA offsets are TAIL-aligned
+
+
+def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
+                 C, G, PADH):
+    l = k + w - 1
+    BC = RB * C
+    BCP = (RB + 1) * C  # butterfly width incl. the carried-tail row
+    SP = C + PADH  # columns per row (>= C + l - 1)
+    SLAB = BC + TAIL  # chars staged in VMEM per block (TAIL-aligned DMA)
+    assert PADH <= TAIL
+
+    def kernel(nw_ref, tab_ref, mul_ref, codes_hbm, amb_hbm,
+               out_hbm, idx_hbm, count_ref,
+               slab, amb_slab, outbuf, idxbuf, tailbuf, tailbuf2,
+               state, sem, sem2):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            state[0] = 0  # total kept
+            state[1] = -1  # dedup seam: INVALID (0xffffffff) as i32 bits
+
+        # Aligned-append state: W = aligned write base, rem = tail carried
+        # in out[W : W + rem] (re-read below; alignment keeps Mosaic happy).
+        total = state[0]
+        W = (total // TAIL) * TAIL
+        rem = total - W
+
+        # ---- DMA this block's slab of codes (and ambiguity) into VMEM ----
+        # codes are one-char-per-i32 (u8 HBM slices don't tile-align);
+        # offsets g*BC and length BC+TAIL are (8,128)-tile multiples.
+        cp = pltpu.make_async_copy(codes_hbm.at[pl.ds(g * BC, SLAB)], slab, sem)
+        cp.start()
+        tp = pltpu.make_async_copy(out_hbm.at[pl.ds(W, TAIL)], tailbuf, sem2)
+        tp.start()
+        if mode == MODE_SUPERKMERS:
+            tp2 = pltpu.make_async_copy(idx_hbm.at[pl.ds(W, TAIL)], tailbuf2, sem2)
+            tp2.start()
+            tp2.wait()
+        if skip_ambiguous:
+            ap = pltpu.make_async_copy(amb_hbm.at[pl.ds(g * BC, SLAB)], amb_slab, sem2)
+            ap.start()
+            ap.wait()
+        tp.wait()
+        cp.wait()
+
+        # ---- lane matrix (RB, SP): row r = slab[r*C : r*C + SP] ----
+        rows = [slab[pl.ds(r * C, SP)].reshape(1, SP) for r in range(RB)]
+        M = jnp.concatenate(rows, axis=0).astype(U32)
+
+        nw = nw_ref[0]  # windows in the sequence (int32)
+        nk = nw + I32(w - 1)  # kmers
+        base = g * BC  # first window/kmer of this block (int32)
+
+        tab = [tab_ref[i] for i in range(4)]
+        mulc = mul_ref[0]
+
+        # ---- hashes for C + w - 1 kmers per row ----
+        nkc = C + w - 1
+        h = _hash_windows(M, hasher_kind, canonical, rot_offset, k, tab, mulc, nkc)
+        hv = h & TOP16
+        j = jax.lax.broadcasted_iota(I32, (RB, nkc), 1)
+        r = jax.lax.broadcasted_iota(I32, (RB, nkc), 0)
+        kidx = base + r * C + j  # global kmer index
+        hv = jnp.where(kidx < nk, hv, INVALID)
+        kpos = (base + r * C + j).astype(U32)
+
+        # ---- sliding window minima ----
+        lpos = _win_lex_min(hv, kpos, w, right_tie=False)[:, :C]
+        if canonical:
+            rpos = _win_lex_min(hv, kpos, w, right_tie=True)[:, :C]
+            tg = ((M >> U32(1)) & U32(1)).astype(I32)
+            cnt = _win_fold(tg, l, jnp.add, None)[:, :C]
+            sel = jnp.where(2 * cnt > l, lpos, rpos)
+        else:
+            sel = lpos
+
+        if skip_ambiguous:
+            arows = [amb_slab[pl.ds(rr * C, SP)].reshape(1, SP) for rr in range(RB)]
+            A = jnp.concatenate(arows, axis=0)
+            acnt = _win_fold(A, l, jnp.add, None)[:, :C]
+            sel = jnp.where(acnt > 0, SKIPPED, sel)
+
+        # ---- validity + seam-aware keep mask ----
+        jw = jax.lax.broadcasted_iota(I32, (RB, C), 1)
+        rw = jax.lax.broadcasted_iota(I32, (RB, C), 0)
+        widx = base + rw * C + jw
+        valid = widx < nw
+        sel = jnp.where(valid, sel, INVALID)
+        gw = widx.astype(U32)
+
+        if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
+            if mode == MODE_OPEN_SYNCMERS:
+                is_sync = sel == gw + U32(w // 2)
+            else:
+                is_sync = (sel == gw) | (sel == gw + U32(w - 1))
+            keep = valid & is_sync & (sel != SKIPPED)
+            vals0 = gw
+        else:
+            # prev in flat order: (r, j) <- (r, j-1); (r, 0) <- (r-1, C-1);
+            # (0, 0) <- the seam carried in SMEM. Built from two wrapping
+            # rolls + selects (skinny concats don't lower on Mosaic).
+            rolled = pltpu.roll(sel, 1, axis=1)  # (r,0) <- sel[r, C-1]
+            colfix = pltpu.roll(rolled, 1, axis=0)  # (r,0) <- sel[r-1, C-1]
+            seam_u = state[1].astype(U32)  # i32 bits -> u32 scalar
+            prev = jnp.where(jw == 0, colfix, rolled)
+            prev = jnp.where((jw == 0) & (rw == 0), seam_u, prev)
+            keep = valid & (sel != prev)
+            if skip_ambiguous:
+                keep = keep & (sel != SKIPPED)
+            vals0 = sel
+
+        # ---- compact: prepend the carried tail as row 0, rank, butterfly ----
+        # Row 0 holds the rem not-yet-tile-aligned output elements; with
+        # keep=1 they get rank 1..rem and shift 0, so the generic butterfly
+        # re-packs them at the front and the whole result lands at W.
+        jt = jax.lax.broadcasted_iota(I32, (1, C), 1)
+        keep_t = jt < rem
+        # concat i32, not bool: i1 vectors don't concatenate on Mosaic
+        keep_all = jnp.concatenate([keep_t.astype(I32), keep.astype(I32)], axis=0) != 0
+        rank = _flat_cumsum(keep_all.astype(I32), RB + 1, C)
+        total_new = W + jnp.max(rank)  # rank is non-decreasing in flat order
+        jf = jax.lax.broadcasted_iota(I32, (RB + 1, C), 1)
+        rf = jax.lax.broadcasted_iota(I32, (RB + 1, C), 0)
+        flat_i = rf * C + jf
+        shift = jnp.where(keep_all, flat_i - (rank - 1), 0)
+
+        def plane(tail, vals):
+            trow = tail[:].reshape(1, TAIL)
+            if C > TAIL:
+                trow = jnp.concatenate(
+                    [trow, jnp.full((1, C - TAIL), INVALID, U32)], axis=1
+                )
+            full = jnp.concatenate([trow, vals], axis=0)
+            return jnp.where(keep_all, full, INVALID)
+
+        planes = [plane(tailbuf, vals0)]
+        if mode == MODE_SUPERKMERS:
+            planes.append(plane(tailbuf2, gw))
+        packed = _butterfly(planes, shift, C)
+
+        # ---- aligned append: write the full packed block at W ----
+        outbuf[:] = packed[0].reshape(BCP)
+        od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
+        od.start()
+        if mode == MODE_SUPERKMERS:
+            idxbuf[:] = packed[1].reshape(BCP)
+            od2 = pltpu.make_async_copy(idxbuf, idx_hbm.at[pl.ds(W, BCP)], sem2)
+            od2.start()
+            od2.wait()
+        od.wait()
+
+        state[0] = total_new
+        # seam for the next block: sel of this block's last window slot
+        # (one-hot sum; u32 reductions don't lower, so reduce the i32 bits)
+        sel_bits = pltpu.bitcast(sel, jnp.int32)
+        state[1] = jnp.sum(
+            jnp.where((rw == RB - 1) & (jw == C - 1), sel_bits, 0)
+        )
+        count_ref[0] = total_new
+
+    return kernel, SLAB, BC, SP
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
+                     "interpret"),
+)
+def _fused_call(codes, ambiguous, nw, table, mul_const,
+                *, k, w, mode, skip_ambiguous, hasher_key, C, G, interpret=False):
+    kind, canonical, rot_offset = hasher_key
+    l = k + w - 1
+    PADH = max(128, -(-(l - 1) // 128) * 128)
+    kernel, SLAB, BC, SP = _make_kernel(
+        k, w, mode, skip_ambiguous, kind, canonical, rot_offset, C, G, PADH
+    )
+    BCP = (RB + 1) * C
+    cap = G * BC + BCP + TAIL
+    superk = mode == MODE_SUPERKMERS
+    out_shapes = (
+        jax.ShapeDtypeStruct((cap,), jnp.uint32),
+        jax.ShapeDtypeStruct((cap if superk else TAIL,), jnp.uint32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # nw, table, mul_const
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # codes (G+1, BC)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ambiguous (G+1, BC)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),  # out positions
+            pl.BlockSpec(memory_space=pltpu.ANY),  # superkmer idx
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # count
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SLAB,), jnp.int32),
+            pltpu.VMEM((SLAB,), jnp.int32),
+            pltpu.VMEM((BCP,), jnp.uint32),
+            pltpu.VMEM((BCP,), jnp.uint32),
+            pltpu.VMEM((TAIL,), jnp.uint32),
+            pltpu.VMEM((TAIL,), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, idx, count = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(nw, table, mul_const, codes, ambiguous)
+    return out, idx, count
+
+
+def fused_sketch(
+    codes_np: np.ndarray,
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = MODE_MINIMIZERS,
+    ambiguous_np: np.ndarray | None = None,
+    C: int = DEF_C,
+    interpret: bool = False,
+    G: int | None = None,
+):
+    """Whole-sequence sketch through the fused kernel (host convenience).
+
+    Returns positions (np.uint32), or (positions, superkmer indices).
+    `G` may over-provision the grid (excess blocks are fully masked), which
+    lets callers bucket grid sizes to bound recompiles.
+    """
+    l = k + w - 1
+    n = int(codes_np.shape[0])
+    assert n < (1 << 31), "fused kernel handles < 2^31 chars; shard larger inputs"
+    assert C >= TAIL, f"fused kernel needs C >= {TAIL}"
+    empty = np.zeros(0, dtype=np.uint32)
+    if n < l:
+        return (empty, empty) if mode == MODE_SUPERKMERS else empty
+    nw = n - l + 1
+    BC = RB * C
+    G = max(G or 1, -(-nw // BC))
+    # one char per i32 (u8 HBM slices don't tile-align for the DMA engine)
+    need = G * BC + TAIL
+    codes = np.zeros(need, np.int32)
+    codes[:n] = codes_np
+    skip_ambiguous = ambiguous_np is not None
+    amb = np.zeros(need if skip_ambiguous else TAIL, np.int32)
+    if skip_ambiguous:
+        amb[:n] = ambiguous_np
+    key, table, mul_const = hasher_jit_args(hasher)
+    out, idx, count = _fused_call(
+        jnp.asarray(codes), jnp.asarray(amb), jnp.asarray([nw], np.int32),
+        jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
+        k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
+        C=C, G=G, interpret=interpret,
+    )
+    cnt = int(count[0])
+    if mode == MODE_SUPERKMERS:
+        return np.asarray(out)[:cnt], np.asarray(idx)[:cnt]
+    return np.asarray(out)[:cnt]

@@ -1,0 +1,83 @@
+"""Fused Pallas kernel == NumPy oracle, bit-exactly (interpret mode).
+
+The kernel runs in Pallas interpret mode here (no TPU in CI); the same
+code path compiles with Mosaic on hardware, where bench.py exercises it.
+Sizes span multiple grid blocks so the SMEM-carried dedup seam and the
+aligned-append tail re-read are exercised.
+"""
+
+import numpy as np
+import pytest
+
+from simd_minimizers_tpu.hashers import AntiLexHasher, MulHasher, NtHasher
+from simd_minimizers_tpu.ops import oracle, pipeline
+from simd_minimizers_tpu.ops.fused import fused_sketch
+
+RNG = np.random.default_rng(0xF0D)
+C = 1024  # smallest legal block width (TAIL); G = nw/8192 blocks
+
+
+def _want(codes, k, w, h, mode=pipeline.MODE_MINIMIZERS, ambiguous=None):
+    sel = oracle.selected_stream(codes, k, w, h, ambiguous=ambiguous)
+    if mode == pipeline.MODE_SUPERKMERS:
+        return oracle.collect_and_dedup_with_index(sel)
+    if mode in (pipeline.MODE_CLOSED_SYNCMERS, pipeline.MODE_OPEN_SYNCMERS):
+        return oracle.collect_syncmers(sel, w, mode == pipeline.MODE_OPEN_SYNCMERS)
+    return oracle.collect_and_dedup(sel, skip_sentinel=ambiguous is not None)
+
+
+@pytest.mark.parametrize("k,w", [(5, 7), (21, 11), (31, 5), (19, 19)])
+def test_fused_fwd(k, w):
+    codes = RNG.integers(0, 4, 20000, dtype=np.uint8)
+    h = NtHasher(k)
+    got = fused_sketch(codes, k, w, h, C=C, interpret=True)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h))
+
+
+@pytest.mark.parametrize("hasher_cls", [NtHasher, MulHasher, AntiLexHasher])
+def test_fused_canonical(hasher_cls):
+    k, w = 21, 11
+    codes = RNG.integers(0, 4, 20000, dtype=np.uint8)
+    h = hasher_cls(k, canonical=True)
+    got = fused_sketch(codes, k, w, h, C=C, interpret=True)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h))
+
+
+def test_fused_superkmers():
+    k, w = 5, 7
+    codes = RNG.integers(0, 4, 12000, dtype=np.uint8)
+    h = NtHasher(k, canonical=True)
+    got_pos, got_idx = fused_sketch(
+        codes, k, w, h, mode=pipeline.MODE_SUPERKMERS, C=C, interpret=True
+    )
+    want_pos, want_idx = _want(codes, k, w, h, mode=pipeline.MODE_SUPERKMERS)
+    np.testing.assert_array_equal(got_pos, want_pos)
+    np.testing.assert_array_equal(got_idx, want_idx)
+
+
+@pytest.mark.parametrize("mode", [pipeline.MODE_CLOSED_SYNCMERS, pipeline.MODE_OPEN_SYNCMERS])
+def test_fused_syncmers(mode):
+    k, w = 11, 7
+    codes = RNG.integers(0, 4, 12000, dtype=np.uint8)
+    h = NtHasher(k)
+    got = fused_sketch(codes, k, w, h, mode=mode, C=C, interpret=True)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h, mode=mode))
+
+
+def test_fused_skip_ambiguous():
+    k, w = 5, 7
+    n = 12000
+    codes = RNG.integers(0, 4, n, dtype=np.uint8)
+    amb = (RNG.random(n) < 0.01).astype(np.uint8)
+    h = NtHasher(k, canonical=True)
+    got = fused_sketch(codes, k, w, h, ambiguous_np=amb, C=C, interpret=True)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h, ambiguous=amb))
+
+
+def test_fused_short_and_overprovisioned():
+    k, w = 5, 7
+    h = NtHasher(k)
+    assert fused_sketch(np.zeros(3, np.uint8), k, w, h, C=C, interpret=True).size == 0
+    codes = RNG.integers(0, 4, 500, dtype=np.uint8)
+    got = fused_sketch(codes, k, w, h, C=C, interpret=True, G=4)  # masked blocks
+    np.testing.assert_array_equal(got, _want(codes, k, w, h))
