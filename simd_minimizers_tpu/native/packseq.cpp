@@ -1,0 +1,89 @@
+// Native sequence ingestion: ASCII -> 2-bit packing and FASTA scanning.
+//
+// The reference's sequence layer (packed-seq) is SIMD Rust; this is the
+// TPU framework's host-side equivalent: a small C++ library (built with
+// -O3 -march=native, auto-vectorized) doing the byte-level work that
+// would bottleneck single-core Python. The device never sees ASCII.
+//
+// Code mapping (A=00, C=01, T=10, G=11 via (c>>1)&3, both cases), matching
+// /root/reference/src/lib.rs:121-128 and seq/packed.py.
+//
+// Exposed C ABI (ctypes):
+//   pack_ascii(ascii, n, codes, amb)        -> void
+//   fasta_scan(buf, len, codes, amb, starts, max_recs) -> n_records
+//     codes/amb are filled with the concatenated per-record sequences;
+//     starts[i] = offset of record i in codes; starts[n_records] = total.
+
+#include <cstddef>
+#include <cstdint>
+
+extern "C" {
+
+static uint8_t IS_ACGT[256];
+static bool init_done = false;
+
+static void init_tables() {
+    if (init_done) return;
+    for (int i = 0; i < 256; i++) IS_ACGT[i] = 0;
+    const char* s = "ACGTacgt";
+    for (int i = 0; i < 8; i++) IS_ACGT[(uint8_t)s[i]] = 1;
+    init_done = true;
+}
+
+// codes[i] = (ascii[i] >> 1) & 3; amb[i] = 1 iff not ACGT/acgt.
+void pack_ascii(const uint8_t* ascii, size_t n, uint8_t* codes, uint8_t* amb) {
+    init_tables();
+    for (size_t i = 0; i < n; i++) {
+        codes[i] = (uint8_t)((ascii[i] >> 1) & 3);
+        amb[i] = (uint8_t)(1 - IS_ACGT[ascii[i]]);
+    }
+}
+
+// 2-bit pack: out[i/4] gets base i at bits 2*(i%4).
+void pack_2bit(const uint8_t* codes, size_t n, uint8_t* out) {
+    size_t nb = n / 4;
+    for (size_t b = 0; b < nb; b++) {
+        const uint8_t* c = codes + 4 * b;
+        out[b] = (uint8_t)(c[0] | (c[1] << 2) | (c[2] << 4) | (c[3] << 6));
+    }
+    if (n % 4) {
+        uint8_t v = 0;
+        for (size_t i = 4 * nb; i < n; i++) v |= (uint8_t)(codes[i] << (2 * (i % 4)));
+        out[nb] = v;
+    }
+}
+
+// One-pass FASTA scan: concatenates record sequences into codes/amb,
+// recording record start offsets. Handles \r\n, multi-line records,
+// lowercase, and arbitrary IUPAC letters (flagged ambiguous).
+int64_t fasta_scan(const uint8_t* buf, size_t len, uint8_t* codes,
+                   uint8_t* amb, int64_t* starts, int64_t max_recs) {
+    init_tables();
+    int64_t nrec = 0;
+    size_t w = 0;
+    size_t i = 0;
+    while (i < len) {
+        if (buf[i] == '>') {  // header line
+            if (nrec >= max_recs) return -1;
+            starts[nrec++] = (int64_t)w;
+            while (i < len && buf[i] != '\n') i++;
+            i++;
+            continue;
+        }
+        // sequence line
+        while (i < len && buf[i] != '\n') {
+            uint8_t c = buf[i];
+            if (c != '\r') {
+                codes[w] = (uint8_t)((c >> 1) & 3);
+                amb[w] = (uint8_t)(1 - IS_ACGT[c]);
+                w++;
+            }
+            i++;
+        }
+        i++;
+    }
+    starts[nrec] = (int64_t)w;
+    return nrec;
+}
+
+}  // extern "C"
