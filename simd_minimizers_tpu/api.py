@@ -185,3 +185,31 @@ def canonical_minimizer_positions(seq, k: int, w: int) -> np.ndarray:
 def one_minimizer(window_seq, hasher: KmerHasher) -> int:
     """Minimizer position of a single window (/root/reference/src/minimizers.rs:22-28)."""
     return oracle.one_minimizer(as_seq(window_seq).codes(), hasher)
+
+
+def _builder_run_batch(self, reads, ambiguous=None):
+    """Sketch a batch of reads in one launch (TPU-native extension).
+
+    reads: list of sequences (any accepted type). Returns (read_ids,
+    positions[, superkmer indices]) ordered by read; positions are local
+    to each read. See ops/fused.batch_sketch.
+    """
+    from .ops import backend, pipeline
+
+    codes = [as_seq(r).codes() for r in reads]
+    h = self._resolved_hasher()
+    if self.syncmer != _SYNCMER_NONE:
+        mode = (
+            pipeline.MODE_OPEN_SYNCMERS
+            if self.syncmer == _SYNCMER_OPEN
+            else pipeline.MODE_CLOSED_SYNCMERS
+        )
+    elif self._super_kmers:
+        mode = pipeline.MODE_SUPERKMERS
+    else:
+        mode = pipeline.MODE_MINIMIZERS
+    return backend.sketch_batch(codes, self.k, self.w, h, mode=mode,
+                                ambiguous=ambiguous)
+
+
+Builder.run_batch = _builder_run_batch

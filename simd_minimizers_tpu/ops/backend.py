@@ -59,3 +59,42 @@ def sketch(
     return pipeline.run_pipeline(
         codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np
     )
+
+
+def sketch_batch(
+    reads: list[np.ndarray],
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = pipeline.MODE_MINIMIZERS,
+    ambiguous: list[np.ndarray] | None = None,
+    C: int = 4096,
+):
+    """Batched reads: (read_ids, positions[, superkmer indices]).
+
+    On TPU all reads go through ONE fused kernel launch (one read per lane
+    row); elsewhere the XLA pipeline runs per read and results are
+    concatenated. Both orderings and values are identical.
+    """
+    if _use_fused():
+        from . import fused
+
+        G = _bucket_G(-(-max(len(reads), 1) // fused.RB))
+        return fused.batch_sketch(reads, k, w, hasher, mode=mode,
+                                  ambiguous=ambiguous, C=C, G=G)
+    rids, poss, idxs = [], [], []
+    for i, rd in enumerate(reads):
+        amb = ambiguous[i] if ambiguous is not None else None
+        res = pipeline.run_pipeline(rd, k, w, hasher, mode=mode, ambiguous_np=amb)
+        if mode == pipeline.MODE_SUPERKMERS:
+            pos, idx = res
+            idxs.append(idx)
+        else:
+            pos = res
+        poss.append(pos)
+        rids.append(np.full(pos.size, i, np.uint32))
+    rid = np.concatenate(rids) if rids else np.zeros(0, np.uint32)
+    pos = np.concatenate(poss) if poss else np.zeros(0, np.uint32)
+    if mode == pipeline.MODE_SUPERKMERS:
+        return rid, pos, np.concatenate(idxs) if idxs else np.zeros(0, np.uint32)
+    return rid, pos

@@ -252,13 +252,17 @@ TAIL = 1024  # u32 tile (8, 128): all HBM DMA offsets are TAIL-aligned
 
 
 def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
-                 C, G, PADH):
+                 C, G, PADH, batched=False):
     l = k + w - 1
     BC = RB * C
     BCP = (RB + 1) * C  # butterfly width incl. the carried-tail row
     SP = C + PADH  # columns per row (>= C + l - 1)
     SLAB = BC + TAIL  # chars staged in VMEM per block (TAIL-aligned DMA)
     assert PADH <= TAIL
+    # batched mode also compacts the window-index plane so the host can
+    # attribute positions to reads (positions near a read's end spill past
+    # its C-aligned slot; window indices never do).
+    emit_idx = mode == MODE_SUPERKMERS or (batched and mode == MODE_MINIMIZERS)
 
     def kernel(nw_ref, tab_ref, mul_ref, codes_hbm, amb_hbm,
                out_hbm, idx_hbm, count_ref,
@@ -284,7 +288,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         cp.start()
         tp = pltpu.make_async_copy(out_hbm.at[pl.ds(W, TAIL)], tailbuf, sem2)
         tp.start()
-        if mode == MODE_SUPERKMERS:
+        if emit_idx:
             tp2 = pltpu.make_async_copy(idx_hbm.at[pl.ds(W, TAIL)], tailbuf2, sem2)
             tp2.start()
             tp2.wait()
@@ -299,10 +303,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         rows = [slab[pl.ds(r * C, SP)].reshape(1, SP) for r in range(RB)]
         M = jnp.concatenate(rows, axis=0).astype(U32)
 
-        nw = nw_ref[0]  # windows in the sequence (int32)
-        nk = nw + I32(w - 1)  # kmers
         base = g * BC  # first window/kmer of this block (int32)
-
         tab = [tab_ref[i] for i in range(4)]
         mulc = mul_ref[0]
 
@@ -312,8 +313,17 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         hv = h & TOP16
         j = jax.lax.broadcasted_iota(I32, (RB, nkc), 1)
         r = jax.lax.broadcasted_iota(I32, (RB, nkc), 0)
-        kidx = base + r * C + j  # global kmer index
-        hv = jnp.where(kidx < nk, hv, INVALID)
+        if batched:
+            # one read per lane row; nw_ref holds per-row char lengths
+            lenK = jnp.zeros((RB, nkc), I32)
+            for rr in range(RB):
+                lenK = jnp.where(r == rr, nw_ref[g * RB + rr], lenK)
+            hv = jnp.where(j < lenK - I32(k - 1), hv, INVALID)
+        else:
+            nw = nw_ref[0]  # windows in the sequence (int32)
+            nk = nw + I32(w - 1)  # kmers
+            kidx = base + r * C + j  # global kmer index
+            hv = jnp.where(kidx < nk, hv, INVALID)
         kpos = (base + r * C + j).astype(U32)
 
         # ---- sliding window minima ----
@@ -336,7 +346,13 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         jw = jax.lax.broadcasted_iota(I32, (RB, C), 1)
         rw = jax.lax.broadcasted_iota(I32, (RB, C), 0)
         widx = base + rw * C + jw
-        valid = widx < nw
+        if batched:
+            lenW = jnp.zeros((RB, C), I32)
+            for rr in range(RB):
+                lenW = jnp.where(rw == rr, nw_ref[g * RB + rr], lenW)
+            valid = jw < lenW - I32(l - 1)
+        else:
+            valid = widx < nw
         sel = jnp.where(valid, sel, INVALID)
         gw = widx.astype(U32)
 
@@ -352,10 +368,14 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             # (0, 0) <- the seam carried in SMEM. Built from two wrapping
             # rolls + selects (skinny concats don't lower on Mosaic).
             rolled = pltpu.roll(sel, 1, axis=1)  # (r,0) <- sel[r, C-1]
-            colfix = pltpu.roll(rolled, 1, axis=0)  # (r,0) <- sel[r-1, C-1]
-            seam_u = state[1].astype(U32)  # i32 bits -> u32 scalar
-            prev = jnp.where(jw == 0, colfix, rolled)
-            prev = jnp.where((jw == 0) & (rw == 0), seam_u, prev)
+            if batched:
+                # rows are independent reads: no cross-row dedup chaining
+                prev = jnp.where(jw == 0, INVALID, rolled)
+            else:
+                colfix = pltpu.roll(rolled, 1, axis=0)  # (r,0) <- sel[r-1, C-1]
+                seam_u = state[1].astype(U32)  # i32 bits -> u32 scalar
+                prev = jnp.where(jw == 0, colfix, rolled)
+                prev = jnp.where((jw == 0) & (rw == 0), seam_u, prev)
             keep = valid & (sel != prev)
             if skip_ambiguous:
                 keep = keep & (sel != SKIPPED)
@@ -386,7 +406,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             return jnp.where(keep_all, full, INVALID)
 
         planes = [plane(tailbuf, vals0)]
-        if mode == MODE_SUPERKMERS:
+        if emit_idx:
             planes.append(plane(tailbuf2, gw))
         packed = _butterfly(planes, shift, C)
 
@@ -394,7 +414,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         outbuf[:] = packed[0].reshape(BCP)
         od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
         od.start()
-        if mode == MODE_SUPERKMERS:
+        if emit_idx:
             idxbuf[:] = packed[1].reshape(BCP)
             od2 = pltpu.make_async_copy(idxbuf, idx_hbm.at[pl.ds(W, BCP)], sem2)
             od2.start()
@@ -413,25 +433,37 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     return kernel, SLAB, BC, SP
 
 
+def _unpack_i32(packed):
+    """2-bit packed uint8 -> one-code-per-i32 (on device, one pass)."""
+    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
+    return ((packed[:, None] >> shifts[None, :]) & jnp.uint8(3)).astype(jnp.int32).reshape(-1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
-                     "interpret"),
+                     "interpret", "batched", "packed_input"),
 )
 def _fused_call(codes, ambiguous, nw, table, mul_const,
-                *, k, w, mode, skip_ambiguous, hasher_key, C, G, interpret=False):
+                *, k, w, mode, skip_ambiguous, hasher_key, C, G, interpret=False,
+                batched=False, packed_input=False):
+    if packed_input:
+        # host ships 0.25 B/bp; decode to the kernel's i32 layout on device
+        codes = _unpack_i32(codes)
+        ambiguous = _unpack_i32(ambiguous) if skip_ambiguous else ambiguous
     kind, canonical, rot_offset = hasher_key
     l = k + w - 1
     PADH = max(128, -(-(l - 1) // 128) * 128)
     kernel, SLAB, BC, SP = _make_kernel(
-        k, w, mode, skip_ambiguous, kind, canonical, rot_offset, C, G, PADH
+        k, w, mode, skip_ambiguous, kind, canonical, rot_offset, C, G, PADH,
+        batched=batched,
     )
     BCP = (RB + 1) * C
     cap = G * BC + BCP + TAIL
-    superk = mode == MODE_SUPERKMERS
+    emit_idx = mode == MODE_SUPERKMERS or (batched and mode == MODE_MINIMIZERS)
     out_shapes = (
         jax.ShapeDtypeStruct((cap,), jnp.uint32),
-        jax.ShapeDtypeStruct((cap if superk else TAIL,), jnp.uint32),
+        jax.ShapeDtypeStruct((cap if emit_idx else TAIL,), jnp.uint32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -497,22 +529,121 @@ def fused_sketch(
     nw = n - l + 1
     BC = RB * C
     G = max(G or 1, -(-nw // BC))
-    # one char per i32 (u8 HBM slices don't tile-align for the DMA engine)
+    # DNA codes ship 2-bit packed (0.25 B/bp) and are decoded to the
+    # kernel's i32 layout on device (u8 HBM slices don't tile-align for
+    # the DMA engine); general ASCII text (&[u8] + MulHasher, values > 3)
+    # ships one-char-per-i32.
+    from .. import native
+
+    is_2bit = codes_np.size == 0 or int(codes_np.max()) <= 3
     need = G * BC + TAIL
-    codes = np.zeros(need, np.int32)
-    codes[:n] = codes_np
     skip_ambiguous = ambiguous_np is not None
-    amb = np.zeros(need if skip_ambiguous else TAIL, np.int32)
-    if skip_ambiguous:
-        amb[:n] = ambiguous_np
+    if is_2bit:
+        codes = np.zeros(need, np.uint8)
+        codes[:n] = codes_np
+        codes_dev = jnp.asarray(native.pack_2bit(codes))
+        if skip_ambiguous:
+            amb = np.zeros(need, np.uint8)
+            amb[:n] = ambiguous_np
+            amb_dev = jnp.asarray(native.pack_2bit(amb))
+        else:
+            amb_dev = jnp.zeros(TAIL, jnp.uint8)
+    else:
+        codes = np.zeros(need, np.int32)
+        codes[:n] = codes_np
+        codes_dev = jnp.asarray(codes)
+        amb = np.zeros(need if skip_ambiguous else TAIL, np.int32)
+        if skip_ambiguous:
+            amb[:n] = ambiguous_np
+        amb_dev = jnp.asarray(amb)
     key, table, mul_const = hasher_jit_args(hasher)
     out, idx, count = _fused_call(
-        jnp.asarray(codes), jnp.asarray(amb), jnp.asarray([nw], np.int32),
+        codes_dev, amb_dev, jnp.asarray([nw], np.int32),
         jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
         k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
-        C=C, G=G, interpret=interpret,
+        C=C, G=G, interpret=interpret, packed_input=is_2bit,
     )
     cnt = int(count[0])
     if mode == MODE_SUPERKMERS:
-        return np.asarray(out)[:cnt], np.asarray(idx)[:cnt]
-    return np.asarray(out)[:cnt]
+        # slice on device first: only cnt elements cross host<->device
+        return np.asarray(out[:max(cnt, 1)][:cnt]), np.asarray(idx[:max(cnt, 1)][:cnt])
+    return np.asarray(out[:max(cnt, 1)][:cnt])
+
+
+def batch_sketch(
+    reads: list[np.ndarray],
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = MODE_MINIMIZERS,
+    ambiguous: list[np.ndarray] | None = None,
+    C: int = DEF_C,
+    interpret: bool = False,
+    G: int | None = None,
+):
+    """Sketch a batch of reads in one kernel launch (one read per lane row).
+
+    The TPU-native answer to the reference's short-sequence workload
+    (/root/reference/bench/src/bin/paper.rs:61-115): instead of paying the
+    streaming warm-up per read, RB*G reads are processed as independent
+    lane rows of one fused kernel. Reads must satisfy len <= C.
+
+    Returns (read_ids, positions) with positions local to each read, or
+    (read_ids, positions, window_indices) for super-k-mers; syncmer modes
+    return (read_ids, window_positions). Results are ordered by read.
+    """
+    from .. import native
+
+    l = k + w - 1
+    if mode == MODE_OPEN_SYNCMERS:
+        assert w % 2 == 1, "open syncmers require odd w"
+    if hasher.canonical:
+        assert l % 2 == 1, f"window length l={l} must be odd to determine strand"
+    BC = RB * C
+    skip_ambiguous = ambiguous is not None
+    if isinstance(reads, np.ndarray) and reads.ndim == 2:
+        # fast path: equal-length reads as a (B, L) matrix
+        B, L = reads.shape
+        assert L <= C, f"batched reads must have len <= {C}"
+        G = max(G or 1, -(-max(B, 1) // RB))
+        buf = np.zeros((G * RB, C), np.uint8)
+        buf[:B, :L] = reads
+        codes = np.concatenate([buf.reshape(-1), np.zeros(TAIL, np.uint8)])
+        lens = np.zeros(G * RB, np.int32)
+        lens[:B] = L
+        if skip_ambiguous:
+            abuf = np.zeros((G * RB, C), np.uint8)
+            abuf[:B, :L] = ambiguous
+            amb = np.concatenate([abuf.reshape(-1), np.zeros(TAIL, np.uint8)])
+    else:
+        B = len(reads)
+        assert all(len(rd) <= C for rd in reads), f"batched reads must have len <= {C}"
+        G = max(G or 1, -(-max(B, 1) // RB))
+        codes = np.zeros(G * BC + TAIL, np.uint8)
+        lens = np.zeros(G * RB, np.int32)
+        if skip_ambiguous:
+            amb = np.zeros(G * BC + TAIL, np.uint8)
+        for i, rd in enumerate(reads):
+            codes[i * C : i * C + len(rd)] = rd
+            lens[i] = len(rd)
+            if skip_ambiguous:
+                amb[i * C : i * C + len(rd)] = ambiguous[i]
+    packed = native.pack_2bit(codes)
+    amb_packed = native.pack_2bit(amb) if skip_ambiguous else np.zeros(TAIL, np.uint8)
+    key, table, mul_const = hasher_jit_args(hasher)
+    out, idx, count = _fused_call(
+        jnp.asarray(packed), jnp.asarray(amb_packed), jnp.asarray(lens),
+        jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
+        k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
+        C=C, G=G, interpret=interpret, batched=True, packed_input=True,
+    )
+    cnt = int(count[0])
+    out = np.asarray(out[:max(cnt, 1)][:cnt])
+    if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
+        return (out // C).astype(np.uint32), (out % C).astype(np.uint32)
+    idx = np.asarray(idx[:max(cnt, 1)][:cnt])
+    read_ids = (idx // C).astype(np.uint32)
+    local = out - read_ids * np.uint32(C)
+    if mode == MODE_SUPERKMERS:
+        return read_ids, local, (idx % C).astype(np.uint32)
+    return read_ids, local

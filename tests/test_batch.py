@@ -1,0 +1,69 @@
+"""Batched-reads fused kernel == per-read oracle (interpret mode)."""
+
+import numpy as np
+import pytest
+
+from simd_minimizers_tpu.hashers import NtHasher
+from simd_minimizers_tpu.ops import oracle, pipeline
+from simd_minimizers_tpu.ops.fused import batch_sketch
+
+RNG = np.random.default_rng(0xBA7C4)
+C = 1024
+
+
+def _reads(lens):
+    return [RNG.integers(0, 4, n, dtype=np.uint8) for n in lens]
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+def test_batch_minimizers(canonical):
+    k, w = 21, 11
+    reads = _reads([500, 31, 30, 0, 1024, 77, 300, 1024, 999, 64, 150])
+    h = NtHasher(k, canonical=canonical)
+    rid, pos = batch_sketch(reads, k, w, h, C=C, interpret=True)
+    assert np.all(np.diff(rid) >= 0)  # ordered by read
+    for i, rd in enumerate(reads):
+        want = (
+            oracle.collect_and_dedup(oracle.selected_stream(rd, k, w, h))
+            if len(rd) >= k + w - 1 else np.zeros(0, np.uint32)
+        )
+        np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
+
+
+def test_batch_superkmers():
+    k, w = 5, 7
+    reads = _reads([200, 64, 1000])
+    h = NtHasher(k, canonical=True)
+    rid, pos, widx = batch_sketch(reads, k, w, h, mode=pipeline.MODE_SUPERKMERS,
+                                  C=C, interpret=True)
+    for i, rd in enumerate(reads):
+        want_pos, want_idx = oracle.collect_and_dedup_with_index(
+            oracle.selected_stream(rd, k, w, h))
+        np.testing.assert_array_equal(pos[rid == i], want_pos, err_msg=f"read {i}")
+        np.testing.assert_array_equal(widx[rid == i], want_idx, err_msg=f"read {i}")
+
+
+@pytest.mark.parametrize("mode", [pipeline.MODE_CLOSED_SYNCMERS, pipeline.MODE_OPEN_SYNCMERS])
+def test_batch_syncmers(mode):
+    k, w = 11, 7
+    reads = _reads([300, 500])
+    h = NtHasher(k)
+    rid, pos = batch_sketch(reads, k, w, h, mode=mode, C=C, interpret=True)
+    for i, rd in enumerate(reads):
+        want = oracle.collect_syncmers(
+            oracle.selected_stream(rd, k, w, h), w,
+            mode == pipeline.MODE_OPEN_SYNCMERS)
+        np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
+
+
+def test_batch_skip_ambiguous():
+    k, w = 5, 7
+    lens = [400, 700]
+    reads = _reads(lens)
+    amb = [(RNG.random(n) < 0.02).astype(np.uint8) for n in lens]
+    h = NtHasher(k, canonical=True)
+    rid, pos = batch_sketch(reads, k, w, h, ambiguous=amb, C=C, interpret=True)
+    for i, rd in enumerate(reads):
+        sel = oracle.selected_stream(rd, k, w, h, ambiguous=amb[i])
+        want = oracle.collect_and_dedup(sel, skip_sentinel=True)
+        np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")

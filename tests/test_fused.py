@@ -81,3 +81,12 @@ def test_fused_short_and_overprovisioned():
     codes = RNG.integers(0, 4, 500, dtype=np.uint8)
     got = fused_sketch(codes, k, w, h, C=C, interpret=True, G=4)  # masked blocks
     np.testing.assert_array_equal(got, _want(codes, k, w, h))
+
+
+def test_fused_generic_text_mulhash():
+    """General ASCII (&[u8]) + MulHasher: byte values survive the fused path."""
+    text = RNG.integers(32, 127, 8000, dtype=np.uint8)
+    k, w = 7, 5
+    h = MulHasher(k)
+    got = fused_sketch(text, k, w, h, C=C, interpret=True)
+    np.testing.assert_array_equal(got, _want(text, k, w, h))
