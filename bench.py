@@ -46,21 +46,24 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"[bench] device: {dev.platform} ({dev.device_kind})", file=sys.stderr)
 
+    from simd_minimizers_tpu import native
+
     rng = np.random.default_rng(0xBEEF)
     t0 = time.perf_counter()
-    codes = np.zeros(G * BC + F.TAIL, np.int32)
+    codes = np.zeros(G * BC + F.TAIL, np.uint8)
     codes[:n] = rng.integers(0, 4, n, dtype=np.uint8)
     hasher = NtHasher(k, canonical=True)
     key, table, mul_const = hasher_jit_args(hasher)
     args = (
-        jnp.asarray(codes),
-        jnp.zeros(F.TAIL, jnp.int32),
-        jnp.asarray([nw], np.int32),
+        jnp.asarray(native.pack_2bit_striped(
+            codes, G, BC, *F.striped_geometry(C)[1:])),  # striped 2-bit words
+        jnp.zeros(F.TAIL, jnp.uint32),
+        jnp.asarray([nw, 0], np.int32),
         jnp.asarray(table),
         jnp.asarray([mul_const], np.uint32),
     )
     kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
-              hasher_key=key, C=C, G=G)
+              hasher_key=key, C=C, G=G, packed_input=True)
     jax.block_until_ready(args)
     t1 = time.perf_counter()
     print(f"[bench] gen+transfer: {t1 - t0:.2f}s", file=sys.stderr)

@@ -66,12 +66,13 @@ def timed(fn, reps=5):
     return max((tm - t1) / reps, 1e-9)
 
 
-def fused_runner(codes_dev, nw, k, w, hasher, C=F.DEF_C, G=None):
+def fused_runner(packed_dev, nw, k, w, hasher, C=F.DEF_C, G=None):
+    """Times the production path: on-device 2-bit decode + fused kernel."""
     key, table, mul_const = hasher_jit_args(hasher)
-    args = (codes_dev, jnp.zeros(F.TAIL, jnp.int32), jnp.asarray([nw], np.int32),
+    args = (packed_dev, jnp.zeros(F.TAIL, jnp.uint32), jnp.asarray([nw, 0], np.int32),
             jnp.asarray(table), jnp.asarray([mul_const], np.uint32))
     kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
-              hasher_key=key, C=C, G=G)
+              hasher_key=key, C=C, G=G, packed_input=True)
 
     def run():
         return F._fused_call(*args, **kw)[2]
@@ -89,9 +90,11 @@ def bench_external(n, quick=False):
         nw = n - l + 1
         BC = F.RB * F.DEF_C
         G = -(-nw // BC)
-        codes = np.zeros(G * BC + F.TAIL, np.int32)
+        codes = np.zeros(G * BC + F.TAIL, np.uint8)
         codes[:n] = base
-        codes_dev = jnp.asarray(codes)
+        from simd_minimizers_tpu import native
+        codes_dev = jnp.asarray(native.pack_2bit_striped(
+            codes, G, BC, *F.striped_geometry(F.DEF_C)[1:]))
         for canonical in (False, True):
             hashers = {"nt": NtHasher(k, canonical=canonical)}
             if not quick:
@@ -171,9 +174,11 @@ def bench_incremental(n, quick=False):
     nw = n - l + 1
     BC = F.RB * F.DEF_C
     G = -(-nw // BC)
-    cfull = np.zeros(G * BC + F.TAIL, np.int32)
+    from simd_minimizers_tpu import native
+    cfull = np.zeros(G * BC + F.TAIL, np.uint8)
     cfull[:n] = codes[:n]
-    t = timed(fused_runner(jnp.asarray(cfull), nw, k, w, h, G=G))
+    t = timed(fused_runner(jnp.asarray(native.pack_2bit_striped(
+        cfull, G, BC, *F.striped_geometry(F.DEF_C)[1:])), nw, k, w, h, G=G))
     ns = t * 1e9 / n
     rows.append({"stage": "fused_total", "ns_per_bp": round(ns, 4), "backend": "pallas"})
     print(f"[incremental] fused_total: {ns:.4f} ns/bp", file=sys.stderr)
@@ -191,9 +196,11 @@ def bench_short(quick=False):
         l = k + w - 1
         nw = max(n - l + 1, 1)
         G = max(1, -(-nw // (F.RB * F.DEF_C)))
-        codes = np.zeros(G * F.RB * F.DEF_C + F.TAIL, np.int32)
+        from simd_minimizers_tpu import native
+        codes = np.zeros(G * F.RB * F.DEF_C + F.TAIL, np.uint8)
         codes[:n] = rng.integers(0, 4, n, dtype=np.uint8)
-        t = timed(fused_runner(jnp.asarray(codes), nw, k, w, h, G=G), reps=10)
+        t = timed(fused_runner(jnp.asarray(native.pack_2bit_striped(
+            codes, G, F.RB * F.DEF_C, *F.striped_geometry(F.DEF_C)[1:])), nw, k, w, h, G=G), reps=10)
         rows.append({"len": n, "ns_per_bp": round(t * 1e9 / n, 3),
                      "us_per_seq": round(t * 1e6, 1)})
         print(f"[short] len={n}: {t*1e6:.0f} us/seq", file=sys.stderr)
@@ -221,10 +228,12 @@ def bench_batch(quick=False):
         G = -(-B // F.RB)
         buf = np.zeros((G * F.RB, C), np.uint8)
         buf[:B, :L] = rng.integers(0, 4, (B, L), dtype=np.uint8)
-        packed = native.pack_2bit(np.concatenate([buf.reshape(-1), np.zeros(F.TAIL, np.uint8)]))
+        packed = native.pack_2bit_striped(
+            np.concatenate([buf.reshape(-1), np.zeros(F.TAIL, np.uint8)]),
+            G, BC, *F.striped_geometry(C)[1:])
         lens = np.zeros(G * F.RB, np.int32)
         lens[:B] = L
-        args = (jnp.asarray(packed), jnp.zeros(F.TAIL, jnp.uint8),
+        args = (jnp.asarray(packed), jnp.zeros(F.TAIL, jnp.uint32),
                 jnp.asarray(lens), jnp.asarray(table),
                 jnp.asarray([mul_const], np.uint32))
         kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
@@ -276,6 +285,8 @@ def main():
         res["short"] = bench_short(args.quick)
     if "batch" not in skip:
         res["batch"] = bench_batch(args.quick)
+    if "human_genome" not in skip:
+        res["human_genome"] = bench_human_genome(args.quick)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)
     print(f"wrote {args.out}", file=sys.stderr)
@@ -284,3 +295,44 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_human_genome(quick=False):
+    """CHM13-scale run: canonical k=21 w=11 over ~3.1 Gbp.
+
+    Uses the real genome if human-genome.fa / $HUMAN_GENOME_FA exists
+    (reference bench/src/lib.rs:51-82), else synthetic random DNA of the
+    same size. Reports end-to-end wall clock (host pack + transfer +
+    kernels + merge) and device-only time.
+    """
+    from simd_minimizers_tpu.ops.fused import sketch_long
+    from simd_minimizers_tpu.seq import fasta
+
+    k, w = 21, 11
+    h = NtHasher(k, canonical=True)
+    n = 3_100_000_000 if not quick else 200_000_000
+    source = "synthetic"
+    try:
+        recs = fasta.read_human_genome()
+        codes = np.concatenate([r.codes for r in recs])
+        n = codes.size
+        source = "chm13"
+    except FileNotFoundError:
+        rng = np.random.default_rng(0xC13)
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+    t0 = time.perf_counter()
+    pos = sketch_long(codes, k, w, h)
+    wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pos = sketch_long(codes, k, w, h)
+    wall2 = time.perf_counter() - t0
+    nw = n - (k + w - 1) + 1
+    res = {
+        "source": source, "n": n, "count": int(pos.size),
+        "density": round(pos.size / nw, 5),
+        "wall_s_first": round(wall, 2), "wall_s": round(wall2, 2),
+        "gbp_per_s_wall": round(n / wall2 / 1e9, 3),
+    }
+    print(f"[human_genome] {source} {n/1e9:.2f} Gbp: {wall2:.2f}s wall "
+          f"({n/wall2/1e9:.2f} Gbp/s), {pos.size} minimizers", file=sys.stderr)
+    return res

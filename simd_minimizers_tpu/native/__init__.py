@@ -45,6 +45,9 @@ def _build_and_load():
         lib.pack_ascii.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                    ctypes.c_void_p, ctypes.c_void_p]
         lib.pack_2bit.argtypes = [ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p]
+        lib.pack_2bit_striped.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_void_p]
         lib.fasta_scan.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                    ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_int64]
@@ -149,3 +152,27 @@ def fasta_scan(buf: np.ndarray, max_records: int = 1 << 20):
 
 def available() -> bool:
     return _build_and_load() is not None
+
+
+def pack_2bit_striped(codes: np.ndarray, nblocks: int, bc: int,
+                      slabw: int, slabw_pad: int) -> np.ndarray:
+    """Striped 2-bit packing for the fused kernel's in-VMEM decode.
+
+    Block b's word m packs chars {b*bc + t*slabw + m : t<16}, char t at
+    bits 2t. `codes` must cover nblocks*bc + 16*slabw chars.
+    Returns uint32 array of nblocks * slabw_pad words.
+    """
+    lib = _build_and_load()
+    out = np.zeros(nblocks * slabw_pad, np.uint32)
+    if lib is not None and nblocks:
+        codes = np.ascontiguousarray(codes)
+        lib.pack_2bit_striped(_ptr(codes), nblocks, bc, slabw, slabw_pad, _ptr(out))
+        return out
+    # vectorized fallback: overlapping block view via stride tricks
+    out2 = out.reshape(nblocks, slabw_pad)
+    v = np.lib.stride_tricks.as_strided(
+        codes, shape=(nblocks, 16 * slabw), strides=(bc * codes.strides[0], codes.strides[0])
+    )
+    for t in range(16):
+        out2[:, :slabw] |= (v[:, t * slabw : (t + 1) * slabw].astype(np.uint32) & 3) << np.uint32(2 * t)
+    return out

@@ -53,6 +53,25 @@ void pack_2bit(const uint8_t* codes, size_t n, uint8_t* out) {
     }
 }
 
+// Striped 2-bit packing for the fused TPU kernel's in-VMEM decode.
+// Block b covers chars [b*bc, b*bc + 16*slabw) (blocks overlap by the
+// halo); its word m packs chars {t*slabw + m : t < 16} with char t at
+// bits 2t. On device, a 16x tile-repeat + per-phase shift then yields the
+// chars in natural order without any lane interleave.
+void pack_2bit_striped(const uint8_t* codes, int64_t nblocks, int64_t bc,
+                       int64_t slabw, int64_t slabw_pad, uint32_t* out) {
+    for (int64_t b = 0; b < nblocks; b++) {
+        uint32_t* ob = out + b * slabw_pad;
+        for (int64_t m = 0; m < slabw_pad; m++) ob[m] = 0;
+        const uint8_t* base = codes + b * bc;
+        for (int t = 0; t < 16; t++) {
+            const uint8_t* src = base + (int64_t)t * slabw;
+            const uint32_t sh = 2 * t;
+            for (int64_t m = 0; m < slabw; m++) ob[m] |= ((uint32_t)src[m] & 3u) << sh;
+        }
+    }
+}
+
 // One-pass FASTA scan: concatenates record sequences into codes/amb,
 // recording record start offsets. Handles \r\n, multi-line records,
 // lowercase, and arbitrary IUPAC letters (flagged ambiguous).

@@ -40,7 +40,7 @@ def sketch(
 ):
     """Positions (or (positions, superkmer indices)) via the best backend."""
     n = int(codes_np.shape[0])
-    if _use_fused() and n < (1 << 31):
+    if _use_fused():
         from . import fused
 
         l = k + w - 1
@@ -51,6 +51,10 @@ def sketch(
                 assert l % 2 == 1, (
                     f"window length l={l} must be odd to determine strand"
                 )
+        if n >= (1 << 30):
+            return fused.sketch_long(
+                codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np
+            )
         nw = max(n - l + 1, 1)
         G = _bucket_G(-(-nw // (fused.RB * fused.DEF_C)))
         return fused.fused_sketch(

@@ -251,13 +251,21 @@ def _hash_windows(M_u32, hasher_kind, canonical, rot_offset, k, tab, mul_const, 
 TAIL = 1024  # u32 tile (8, 128): all HBM DMA offsets are TAIL-aligned
 
 
+def striped_geometry(C: int) -> tuple[int, int, int]:
+    """(SLAB chars, SLABW words, SLABW_PAD padded words) per block."""
+    SLAB = RB * C + TAIL
+    SLABW = SLAB // 16
+    SLABW_PAD = -(-SLABW // 1024) * 1024
+    return SLAB, SLABW, SLABW_PAD
+
+
 def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
-                 C, G, PADH, batched=False):
+                 C, G, PADH, batched=False, packed_in=False):
     l = k + w - 1
     BC = RB * C
     BCP = (RB + 1) * C  # butterfly width incl. the carried-tail row
     SP = C + PADH  # columns per row (>= C + l - 1)
-    SLAB = BC + TAIL  # chars staged in VMEM per block (TAIL-aligned DMA)
+    SLAB, SLABW, SLABW_PAD = striped_geometry(C)  # chars staged per block
     assert PADH <= TAIL
     # batched mode also compacts the window-index plane so the host can
     # attribute positions to reads (positions near a read's end spill past
@@ -282,9 +290,16 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         rem = total - W
 
         # ---- DMA this block's slab of codes (and ambiguity) into VMEM ----
-        # codes are one-char-per-i32 (u8 HBM slices don't tile-align);
-        # offsets g*BC and length BC+TAIL are (8,128)-tile multiples.
-        cp = pltpu.make_async_copy(codes_hbm.at[pl.ds(g * BC, SLAB)], slab, sem)
+        # packed_in: striped 2-bit words (16 chars/word, char t of word m at
+        # chars[t*SLABW + m]) decoded in VMEM via tile-repeat + shift —
+        # 0.29 B/bp of HBM read. Otherwise one-char-per-i32 (u8 HBM slices
+        # don't tile-align for the DMA engine). All offsets/lengths are
+        # (8,128)-tile multiples.
+        if packed_in:
+            cp = pltpu.make_async_copy(
+                codes_hbm.at[pl.ds(g * SLABW_PAD, SLABW_PAD)], slab, sem)
+        else:
+            cp = pltpu.make_async_copy(codes_hbm.at[pl.ds(g * BC, SLAB)], slab, sem)
         cp.start()
         tp = pltpu.make_async_copy(out_hbm.at[pl.ds(W, TAIL)], tailbuf, sem2)
         tp.start()
@@ -293,15 +308,30 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             tp2.start()
             tp2.wait()
         if skip_ambiguous:
-            ap = pltpu.make_async_copy(amb_hbm.at[pl.ds(g * BC, SLAB)], amb_slab, sem2)
+            if packed_in:
+                ap = pltpu.make_async_copy(
+                    amb_hbm.at[pl.ds(g * SLABW_PAD, SLABW_PAD)], amb_slab, sem2)
+            else:
+                ap = pltpu.make_async_copy(
+                    amb_hbm.at[pl.ds(g * BC, SLAB)], amb_slab, sem2)
             ap.start()
             ap.wait()
         tp.wait()
         cp.wait()
 
-        # ---- lane matrix (RB, SP): row r = slab[r*C : r*C + SP] ----
-        rows = [slab[pl.ds(r * C, SP)].reshape(1, SP) for r in range(RB)]
-        M = jnp.concatenate(rows, axis=0).astype(U32)
+        # ---- lane matrix (RB, SP): row r = chars[r*C : r*C + SP] ----
+        def lane_matrix(slab_ref):
+            if packed_in:
+                ww = slab_ref[...].reshape(1, SLABW_PAD)[:, :SLABW]
+                X = pltpu.repeat(ww, 16, axis=1)  # X[:, t*SLABW + m] = word m
+                t = jax.lax.broadcasted_iota(I32, (1, 16 * SLABW), 1) // SLABW
+                chars = (X >> (U32(2) * t.astype(U32))) & U32(3)  # natural order
+                rows = [chars[:, r * C : r * C + SP] for r in range(RB)]
+                return jnp.concatenate(rows, axis=0)
+            rows = [slab_ref[pl.ds(r * C, SP)].reshape(1, SP) for r in range(RB)]
+            return jnp.concatenate(rows, axis=0).astype(U32)
+
+        M = lane_matrix(slab)
 
         base = g * BC  # first window/kmer of this block (int32)
         tab = [tab_ref[i] for i in range(4)]
@@ -315,16 +345,18 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         r = jax.lax.broadcasted_iota(I32, (RB, nkc), 0)
         if batched:
             # one read per lane row; nw_ref holds per-row char lengths
+            off = U32(0)
             lenK = jnp.zeros((RB, nkc), I32)
             for rr in range(RB):
                 lenK = jnp.where(r == rr, nw_ref[g * RB + rr], lenK)
             hv = jnp.where(j < lenK - I32(k - 1), hv, INVALID)
         else:
-            nw = nw_ref[0]  # windows in the sequence (int32)
+            nw = nw_ref[0]  # windows in this call (int32)
+            off = nw_ref[1].astype(U32)  # global char offset (u32 bits)
             nk = nw + I32(w - 1)  # kmers
-            kidx = base + r * C + j  # global kmer index
+            kidx = base + r * C + j  # call-local kmer index
             hv = jnp.where(kidx < nk, hv, INVALID)
-        kpos = (base + r * C + j).astype(U32)
+        kpos = (base + r * C + j).astype(U32) + off
 
         # ---- sliding window minima ----
         lpos = _win_lex_min(hv, kpos, w, right_tie=False)[:, :C]
@@ -337,8 +369,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             sel = lpos
 
         if skip_ambiguous:
-            arows = [amb_slab[pl.ds(rr * C, SP)].reshape(1, SP) for rr in range(RB)]
-            A = jnp.concatenate(arows, axis=0)
+            A = lane_matrix(amb_slab).astype(I32)
             acnt = _win_fold(A, l, jnp.add, None)[:, :C]
             sel = jnp.where(acnt > 0, SKIPPED, sel)
 
@@ -354,7 +385,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         else:
             valid = widx < nw
         sel = jnp.where(valid, sel, INVALID)
-        gw = widx.astype(U32)
+        gw = widx.astype(U32) + off
 
         if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
             if mode == MODE_OPEN_SYNCMERS:
@@ -433,12 +464,6 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     return kernel, SLAB, BC, SP
 
 
-def _unpack_i32(packed):
-    """2-bit packed uint8 -> one-code-per-i32 (on device, one pass)."""
-    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)
-    return ((packed[:, None] >> shifts[None, :]) & jnp.uint8(3)).astype(jnp.int32).reshape(-1)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
@@ -447,16 +472,12 @@ def _unpack_i32(packed):
 def _fused_call(codes, ambiguous, nw, table, mul_const,
                 *, k, w, mode, skip_ambiguous, hasher_key, C, G, interpret=False,
                 batched=False, packed_input=False):
-    if packed_input:
-        # host ships 0.25 B/bp; decode to the kernel's i32 layout on device
-        codes = _unpack_i32(codes)
-        ambiguous = _unpack_i32(ambiguous) if skip_ambiguous else ambiguous
     kind, canonical, rot_offset = hasher_key
     l = k + w - 1
     PADH = max(128, -(-(l - 1) // 128) * 128)
     kernel, SLAB, BC, SP = _make_kernel(
         k, w, mode, skip_ambiguous, kind, canonical, rot_offset, C, G, PADH,
-        batched=batched,
+        batched=batched, packed_in=packed_input,
     )
     BCP = (RB + 1) * C
     cap = G * BC + BCP + TAIL
@@ -479,8 +500,10 @@ def _fused_call(codes, ambiguous, nw, table, mul_const,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count
         ),
         scratch_shapes=[
-            pltpu.VMEM((SLAB,), jnp.int32),
-            pltpu.VMEM((SLAB,), jnp.int32),
+            pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32) if packed_input
+            else pltpu.VMEM((SLAB,), jnp.int32),
+            pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32) if packed_input
+            else pltpu.VMEM((SLAB,), jnp.int32),
             pltpu.VMEM((BCP,), jnp.uint32),
             pltpu.VMEM((BCP,), jnp.uint32),
             pltpu.VMEM((TAIL,), jnp.uint32),
@@ -512,16 +535,19 @@ def fused_sketch(
     C: int = DEF_C,
     interpret: bool = False,
     G: int | None = None,
+    offset: int = 0,
 ):
     """Whole-sequence sketch through the fused kernel (host convenience).
 
     Returns positions (np.uint32), or (positions, superkmer indices).
     `G` may over-provision the grid (excess blocks are fully masked), which
-    lets callers bucket grid sizes to bound recompiles.
+    lets callers bucket grid sizes to bound recompiles. `offset` shifts all
+    emitted positions/window indices (u32), for >2^31-char streaming
+    (sketch_long) and sharding.
     """
     l = k + w - 1
     n = int(codes_np.shape[0])
-    assert n < (1 << 31), "fused kernel handles < 2^31 chars; shard larger inputs"
+    assert n < (1 << 31), "fused kernel handles < 2^31 chars per call (see sketch_long)"
     assert C >= TAIL, f"fused kernel needs C >= {TAIL}"
     empty = np.zeros(0, dtype=np.uint32)
     if n < l:
@@ -539,15 +565,16 @@ def fused_sketch(
     need = G * BC + TAIL
     skip_ambiguous = ambiguous_np is not None
     if is_2bit:
+        _, SLABW, SLABW_PAD = striped_geometry(C)
         codes = np.zeros(need, np.uint8)
         codes[:n] = codes_np
-        codes_dev = jnp.asarray(native.pack_2bit(codes))
+        codes_dev = jnp.asarray(native.pack_2bit_striped(codes, G, BC, SLABW, SLABW_PAD))
         if skip_ambiguous:
             amb = np.zeros(need, np.uint8)
             amb[:n] = ambiguous_np
-            amb_dev = jnp.asarray(native.pack_2bit(amb))
+            amb_dev = jnp.asarray(native.pack_2bit_striped(amb, G, BC, SLABW, SLABW_PAD))
         else:
-            amb_dev = jnp.zeros(TAIL, jnp.uint8)
+            amb_dev = jnp.zeros(TAIL, jnp.uint32)
     else:
         codes = np.zeros(need, np.int32)
         codes[:n] = codes_np
@@ -557,8 +584,9 @@ def fused_sketch(
             amb[:n] = ambiguous_np
         amb_dev = jnp.asarray(amb)
     key, table, mul_const = hasher_jit_args(hasher)
+    off_bits = np.asarray([np.uint32(offset)], np.uint32).view(np.int32)[0]
     out, idx, count = _fused_call(
-        codes_dev, amb_dev, jnp.asarray([nw], np.int32),
+        codes_dev, amb_dev, jnp.asarray([nw, off_bits], np.int32),
         jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
         k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
         C=C, G=G, interpret=interpret, packed_input=is_2bit,
@@ -628,8 +656,12 @@ def batch_sketch(
             lens[i] = len(rd)
             if skip_ambiguous:
                 amb[i * C : i * C + len(rd)] = ambiguous[i]
-    packed = native.pack_2bit(codes)
-    amb_packed = native.pack_2bit(amb) if skip_ambiguous else np.zeros(TAIL, np.uint8)
+    _, SLABW, SLABW_PAD = striped_geometry(C)
+    packed = native.pack_2bit_striped(codes, G, BC, SLABW, SLABW_PAD)
+    amb_packed = (
+        native.pack_2bit_striped(amb, G, BC, SLABW, SLABW_PAD)
+        if skip_ambiguous else np.zeros(TAIL, np.uint32)
+    )
     key, table, mul_const = hasher_jit_args(hasher)
     out, idx, count = _fused_call(
         jnp.asarray(packed), jnp.asarray(amb_packed), jnp.asarray(lens),
@@ -647,3 +679,61 @@ def batch_sketch(
     if mode == MODE_SUPERKMERS:
         return read_ids, local, (idx % C).astype(np.uint32)
     return read_ids, local
+
+
+def sketch_long(
+    codes_np: np.ndarray,
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = MODE_MINIMIZERS,
+    ambiguous_np: np.ndarray | None = None,
+    C: int = DEF_C,
+    span_chars: int = 1 << 29,
+    interpret: bool = False,
+):
+    """Stream a sequence of up to 2^32 chars through span-sized fused calls.
+
+    Spans overlap by l-1 chars so every window is owned by one span;
+    positions come out sequence-global via the kernel's u32 offset, and
+    spans merge with seam dedup (the multi-shard scheme of
+    parallel/multihost.py applied to one device). Mirrors the reference's
+    "split inputs over 4 GB chars" guidance (src/sliding_min.rs:96-99).
+    """
+    l = k + w - 1
+    n = int(codes_np.shape[0])
+    assert n < (1 << 32), "positions are u32: 2^32 chars max per sequence"
+    empty = np.zeros(0, dtype=np.uint32)
+    if n < l:
+        return (empty, empty) if mode == MODE_SUPERKMERS else empty
+    if n <= span_chars:
+        return fused_sketch(codes_np, k, w, hasher, mode=mode,
+                            ambiguous_np=ambiguous_np, C=C, interpret=interpret)
+    nw = n - l + 1
+    spans = []
+    idxs = []
+    s = 0
+    while s < nw:
+        e = min(s + span_chars - (l - 1), nw)
+        chars_end = min(e - 1 + l, n)
+        amb = ambiguous_np[s:chars_end] if ambiguous_np is not None else None
+        res = fused_sketch(codes_np[s:chars_end], k, w, hasher, mode=mode,
+                           ambiguous_np=amb, C=C, offset=s, interpret=interpret)
+        if mode == MODE_SUPERKMERS:
+            spans.append(res[0])
+            idxs.append(res[1])
+        else:
+            spans.append(res)
+        s = e
+    if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
+        return np.concatenate(spans)  # window indices never repeat across spans
+    if mode == MODE_SUPERKMERS:
+        pos, sk = [spans[0]], [idxs[0]]
+        for p, i in zip(spans[1:], idxs[1:]):
+            drop = 1 if (pos[-1].size and p.size and p[0] == pos[-1][-1]) else 0
+            pos.append(p[drop:])
+            sk.append(i[drop:])
+        return np.concatenate(pos), np.concatenate(sk)
+    from ..parallel.multihost import merge_shard_positions
+
+    return merge_shard_positions(spans)
