@@ -55,6 +55,8 @@ TOP16 = np.uint32(0xFFFF_0000)
 
 # Block geometry: RB lane-rows of C owned windows per grid step.
 RB = 8
+# per-row lengths ride SMEM scalar prefetch (1MB): cap reads per launch
+MAX_BATCH_READS = 1 << 17
 DEF_C = 4096
 
 
@@ -621,6 +623,20 @@ def batch_sketch(
     return (read_ids, window_positions). Results are ordered by read.
     """
     from .. import native
+
+    # per-row lengths ride SMEM scalar prefetch (1MB): split huge batches
+    B_total = reads.shape[0] if isinstance(reads, np.ndarray) and reads.ndim == 2 else len(reads)
+    if B_total > MAX_BATCH_READS:
+        parts = []
+        for s0 in range(0, B_total, MAX_BATCH_READS):
+            sub = reads[s0 : s0 + MAX_BATCH_READS]
+            asub = ambiguous[s0 : s0 + MAX_BATCH_READS] if ambiguous is not None else None
+            parts.append((s0, batch_sketch(sub, k, w, hasher, mode=mode,
+                                           ambiguous=asub, C=C,
+                                           interpret=interpret, G=G)))
+        outs = [np.concatenate([p[i] for _, p in parts]) for i in range(len(parts[0][1]))]
+        rid = np.concatenate([p[0] + np.uint32(s0) for s0, p in parts])
+        return (rid, *outs[1:])
 
     l = k + w - 1
     if mode == MODE_OPEN_SYNCMERS:

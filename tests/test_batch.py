@@ -67,3 +67,17 @@ def test_batch_skip_ambiguous():
         sel = oracle.selected_stream(rd, k, w, h, ambiguous=amb[i])
         want = oracle.collect_and_dedup(sel, skip_sentinel=True)
         np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
+
+
+def test_batch_split_over_max(monkeypatch):
+    """Batches above the SMEM prefetch cap split and merge seamlessly."""
+    import simd_minimizers_tpu.ops.fused as F
+
+    monkeypatch.setattr(F, "MAX_BATCH_READS", 4)
+    k, w = 5, 7
+    reads = RNG.integers(0, 4, (11, 64), dtype=np.uint8)
+    h = NtHasher(k, canonical=True)
+    rid, pos = F.batch_sketch(reads, k, w, h, C=C, interpret=True)
+    for i in range(11):
+        want = oracle.collect_and_dedup(oracle.selected_stream(reads[i], k, w, h))
+        np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
