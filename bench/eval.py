@@ -67,6 +67,13 @@ def main():
             print(f"  {k:>8}: {v:.2f}")
         print()
 
+    if "human_genome" in res:
+        h = res["human_genome"]
+        print(f"human genome ({h['source']}, {h['n']/1e9:.2f} Gbp): "
+              f"{h['count']:,} minimizers, density {h['density']}")
+        print(f"  wall {h['wall_s']}s (tunnel-bound; device ~{h.get('device_s_est','?')}s "
+              f"at measured ns/bp)\n")
+
     if "density" in res:
         d = res["density"]
         print(f"density: {d['density']} (expected ~{d['expected']})")
