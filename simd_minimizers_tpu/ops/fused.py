@@ -276,8 +276,8 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
 
     def kernel(nw_ref, tab_ref, mul_ref, codes_hbm, amb_hbm,
                out_hbm, idx_hbm, count_ref,
-               slab, amb_slab, outbuf, idxbuf, tailbuf, tailbuf2,
-               state, sem, sem2):
+               slab0, slab1, amb_slab, outbuf, idxbuf, tailbuf, tailbuf2,
+               state, sem_in, sem, sem2):
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -291,18 +291,35 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         W = (total // TAIL) * TAIL
         rem = total - W
 
-        # ---- DMA this block's slab of codes (and ambiguity) into VMEM ----
+        # ---- double-buffered input DMA ----
         # packed_in: striped 2-bit words (16 chars/word, char t of word m at
         # chars[t*SLABW + m]) decoded in VMEM via tile-repeat + shift —
         # 0.29 B/bp of HBM read. Otherwise one-char-per-i32 (u8 HBM slices
         # don't tile-align for the DMA engine). All offsets/lengths are
-        # (8,128)-tile multiples.
-        if packed_in:
-            cp = pltpu.make_async_copy(
-                codes_hbm.at[pl.ds(g * SLABW_PAD, SLABW_PAD)], slab, sem)
-        else:
-            cp = pltpu.make_async_copy(codes_hbm.at[pl.ds(g * BC, SLAB)], slab, sem)
-        cp.start()
+        # (8,128)-tile multiples. Block g+1's slab loads during block g's
+        # compute (two slots; the output append stays serial because the
+        # aligned-append tail re-read depends on it).
+        def in_copy(blk, slot_ref, slot):
+            if packed_in:
+                src = codes_hbm.at[pl.ds(blk * SLABW_PAD, SLABW_PAD)]
+            else:
+                src = codes_hbm.at[pl.ds(blk * BC, SLAB)]
+            return pltpu.make_async_copy(src, slot_ref, sem_in.at[slot])
+
+        @pl.when(g == 0)
+        def _():
+            in_copy(0, slab0, 0).start()
+
+        even = g % 2 == 0
+
+        @pl.when((g + 1 < G) & even)
+        def _():
+            in_copy(g + 1, slab1, 1).start()
+
+        @pl.when((g + 1 < G) & (~even))
+        def _():
+            in_copy(g + 1, slab0, 0).start()
+
         tp = pltpu.make_async_copy(out_hbm.at[pl.ds(W, TAIL)], tailbuf, sem2)
         tp.start()
         if emit_idx:
@@ -319,21 +336,32 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             ap.start()
             ap.wait()
         tp.wait()
-        cp.wait()
+
+        @pl.when(even)
+        def _():
+            in_copy(g, slab0, 0).wait()
+
+        @pl.when(~even)
+        def _():
+            in_copy(g, slab1, 1).wait()
 
         # ---- lane matrix (RB, SP): row r = chars[r*C : r*C + SP] ----
-        def lane_matrix(slab_ref):
+        def lane_matrix_from(val):
             if packed_in:
-                ww = slab_ref[...].reshape(1, SLABW_PAD)[:, :SLABW]
+                ww = val.reshape(1, SLABW_PAD)[:, :SLABW]
                 X = pltpu.repeat(ww, 16, axis=1)  # X[:, t*SLABW + m] = word m
                 t = jax.lax.broadcasted_iota(I32, (1, 16 * SLABW), 1) // SLABW
                 chars = (X >> (U32(2) * t.astype(U32))) & U32(3)  # natural order
                 rows = [chars[:, r * C : r * C + SP] for r in range(RB)]
                 return jnp.concatenate(rows, axis=0)
-            rows = [slab_ref[pl.ds(r * C, SP)].reshape(1, SP) for r in range(RB)]
+            v2 = val.reshape(1, val.shape[0])
+            rows = [v2[:, r * C : r * C + SP] for r in range(RB)]
             return jnp.concatenate(rows, axis=0).astype(U32)
 
-        M = lane_matrix(slab)
+        def lane_matrix(slab_ref):
+            return lane_matrix_from(slab_ref[...])
+
+        M = lane_matrix_from(jnp.where(even, slab0[...], slab1[...]))
 
         base = g * BC  # first window/kmer of this block (int32)
         tab = [tab_ref[i] for i in range(4)]
@@ -466,14 +494,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     return kernel, SLAB, BC, SP
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
-                     "interpret", "batched", "packed_input"),
-)
-def _fused_call(codes, ambiguous, nw, table, mul_const,
-                *, k, w, mode, skip_ambiguous, hasher_key, C, G, interpret=False,
-                batched=False, packed_input=False):
+def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
+                   *, k, w, mode, skip_ambiguous, hasher_key, C, G,
+                   interpret=False, batched=False, packed_input=False):
+    """Raw pallas_call invocation (composable inside shard_map/jit)."""
     kind, canonical, rot_offset = hasher_key
     l = k + w - 1
     PADH = max(128, -(-(l - 1) // 128) * 128)
@@ -506,11 +530,14 @@ def _fused_call(codes, ambiguous, nw, table, mul_const,
             else pltpu.VMEM((SLAB,), jnp.int32),
             pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32) if packed_input
             else pltpu.VMEM((SLAB,), jnp.int32),
+            pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32) if packed_input
+            else pltpu.VMEM((SLAB,), jnp.int32),
             pltpu.VMEM((BCP,), jnp.uint32),
             pltpu.VMEM((BCP,), jnp.uint32),
             pltpu.VMEM((TAIL,), jnp.uint32),
             pltpu.VMEM((TAIL,), jnp.uint32),
             pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -525,6 +552,13 @@ def _fused_call(codes, ambiguous, nw, table, mul_const,
         interpret=interpret,
     )(nw, table, mul_const, codes, ambiguous)
     return out, idx, count
+
+
+_fused_call = jax.jit(
+    _invoke_pallas,
+    static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
+                     "interpret", "batched", "packed_input"),
+)
 
 
 def fused_sketch(

@@ -65,7 +65,12 @@ def local_shard_sketch(
     if e <= s:
         return np.zeros(0, np.uint32)
     local = codes_np[s:e]
-    pos = shard.sharded_sketch(local, k, w, hasher, mode=mode, mesh=mesh)
+    from ..ops import backend
+
+    if backend._use_fused() and mode == pipeline.MODE_MINIMIZERS:
+        pos = shard.fused_sharded_sketch(local, k, w, hasher, mode=mode, mesh=mesh)
+    else:
+        pos = shard.sharded_sketch(local, k, w, hasher, mode=mode, mesh=mesh)
     return (pos + np.uint32(s)).astype(np.uint32)
 
 

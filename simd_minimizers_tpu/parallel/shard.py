@@ -164,3 +164,100 @@ def sharded_sketch(
         return pos, sk
     out, counts = (np.asarray(x) for x in res)
     return np.concatenate([out[d, : counts[d]] for d in range(ndev)])
+
+
+# ---------------------------------------------------------------------------
+# Fused-kernel sharding: each device runs the full Pallas pipeline on its
+# halo'd span; host merges with seam dedup (parallel/multihost scheme).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
+                     "mesh", "interpret"),
+)
+def _jit_fused_sharded(words, nws, table, mul_const,
+                       *, k, w, mode, skip_ambiguous, hasher_key, C, G, mesh,
+                       interpret):
+    from ..ops import fused
+
+    def body(words_loc, nw_loc, table, mul_const):
+        out, idx, count = fused._invoke_pallas(
+            words_loc[0], jnp.zeros(fused.TAIL, jnp.uint32), nw_loc[0],
+            table, mul_const,
+            k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous,
+            hasher_key=hasher_key, C=C, G=G, interpret=interpret,
+            packed_input=True,
+        )
+        return out[None], idx[None], count[None]
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(), P()),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        check_rep=False,
+    )(words, nws, table, mul_const)
+
+
+def fused_sharded_sketch(
+    codes_np: np.ndarray,
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = MODE_MINIMIZERS,
+    mesh: Mesh | None = None,
+    C: int | None = None,
+    interpret: bool = False,
+):
+    """Sketch one long sequence across the mesh with the fused Pallas kernel.
+
+    Each device owns an equal halo'd span of windows and runs the whole
+    fused pipeline locally (BASELINE config 5: per-shard sketches with
+    halo + offset-corrected merge). Returns the bit-exact global position
+    list (host seam-merged). TPU-only for compiled runs; interpret=True
+    runs the same path on a CPU mesh for testing.
+    """
+    from ..ops import fused
+    from ..seq import packed as _  # noqa: F401 (keep import graph warm)
+    from .. import native
+    from .multihost import merge_shard_positions
+
+    assert mode == MODE_MINIMIZERS, "fused sharding: positions mode only"
+    mesh = mesh or default_mesh()
+    ndev = int(mesh.shape[AXIS])
+    C = C or fused.DEF_C
+    l = k + w - 1
+    n = int(codes_np.shape[0])
+    empty = np.zeros(0, dtype=np.uint32)
+    if n < l:
+        return empty
+    nw = n - l + 1
+    per_dev = -(-nw // ndev)
+    BC = fused.RB * C
+    G = max(1, -(-per_dev // BC))
+    SLAB, SLABW, SLABW_PAD = fused.striped_geometry(C)
+    need = G * BC + fused.TAIL
+    words = np.zeros((ndev, G * SLABW_PAD), np.uint32)
+    nws = np.zeros((ndev, 2), np.int32)
+    for d in range(ndev):
+        s = d * per_dev
+        e = min(s + per_dev, nw)
+        if s >= nw:
+            continue
+        chars_end = min(e - 1 + l, n)
+        span = np.zeros(need, np.uint8)
+        span[: chars_end - s] = codes_np[s:chars_end]
+        words[d] = native.pack_2bit_striped(span, G, BC, SLABW, SLABW_PAD)
+        nws[d] = (e - s, np.asarray(np.uint32(s)).view(np.int32))
+    key, table, mul_const = hasher_jit_args(hasher)
+    out, idx, count = _jit_fused_sharded(
+        jnp.asarray(words), jnp.asarray(nws),
+        jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
+        k=k, w=w, mode=mode, skip_ambiguous=False, hasher_key=key,
+        C=C, G=G, mesh=mesh, interpret=interpret,
+    )
+    counts = np.asarray(count).reshape(ndev)
+    shards = [np.asarray(out[d, : int(counts[d])]) for d in range(ndev)]
+    return merge_shard_positions(shards)

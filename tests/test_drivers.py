@@ -112,3 +112,14 @@ def test_sharded_superkmers_and_syncmers():
     np.testing.assert_array_equal(got_idx, want_idx)
     got = shard.sharded_sketch(codes, k, w, h, mode=pipeline.MODE_CLOSED_SYNCMERS, C=64)
     np.testing.assert_array_equal(got, _want(codes, k, w, h, mode=pipeline.MODE_CLOSED_SYNCMERS))
+
+
+def test_fused_sharded_interpret():
+    """Fused Pallas kernel inside shard_map over the 8-device mesh."""
+    from simd_minimizers_tpu.parallel.shard import fused_sharded_sketch
+
+    k, w = 21, 11
+    codes = RNG.integers(0, 4, 120000, dtype=np.uint8)
+    h = NtHasher(k, canonical=True)
+    got = fused_sharded_sketch(codes, k, w, h, C=1024, interpret=True)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h))
