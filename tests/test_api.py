@@ -88,3 +88,26 @@ def test_values_u128_large_k():
     vals = out.values_u128()
     for p, v in zip(out.positions.tolist(), vals):
         assert v == seq.read_kmer(k, p)
+
+
+def test_baseline_config_superkmers_mulhasher_values():
+    """BASELINE config 3: minimizers + super_kmers + values_u64, MulHasher."""
+    from simd_minimizers_tpu.hashers import MulHasher
+    from simd_minimizers_tpu.seq.packed import PackedSeqVec
+
+    rng = np.random.default_rng(33)
+    seq = PackedSeqVec.random(3000, rng)
+    k, w = 11, 7
+    out = sm.minimizers(k, w).hasher(MulHasher(k)).super_kmers().run(seq)
+    ref = sm.minimizers(k, w).hasher(MulHasher(k)).super_kmers().run_scalar(seq)
+    np.testing.assert_array_equal(out.positions, ref.positions)
+    np.testing.assert_array_equal(out.superkmer_indices, ref.superkmer_indices)
+    vals = out.values_u64()
+    assert vals.size == out.positions.size
+    # values are the packed k-mers at the reported positions
+    codes = seq.codes()
+    for p, v in list(zip(out.positions[:20], vals[:20])):
+        want = 0
+        for i, c in enumerate(codes[p : p + k]):
+            want |= int(c) << (2 * i)
+        assert int(v) == want
