@@ -32,7 +32,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax  # noqa: E402
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/smtpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import algs  # noqa: E402

@@ -262,7 +262,7 @@ def striped_geometry(C: int) -> tuple[int, int, int]:
 
 
 def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
-                 C, G, PADH, batched=False, packed_in=False):
+                 C, G, PADH, batched=False, packed_in=False, ablate=None):
     l = k + w - 1
     BC = RB * C
     BCP = (RB + 1) * C  # butterfly width incl. the carried-tail row
@@ -363,6 +363,15 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
 
         M = lane_matrix_from(jnp.where(even, slab0[...], slab1[...]))
 
+        def _ablate_out(x):
+            # bench-only: checksum a stage's result and stop (prevents DCE)
+            state[0] = jnp.sum(pltpu.bitcast(x, jnp.int32) & 0xFF)
+            count_ref[0] = state[0]
+
+        if ablate == "decode":
+            _ablate_out(M)
+            return
+
         base = g * BC  # first window/kmer of this block (int32)
         tab = [tab_ref[i] for i in range(4)]
         mulc = mul_ref[0]
@@ -370,6 +379,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         # ---- hashes for C + w - 1 kmers per row ----
         nkc = C + w - 1
         h = _hash_windows(M, hasher_kind, canonical, rot_offset, k, tab, mulc, nkc)
+        if ablate == "hash":
+            _ablate_out(h)
+            return
         hv = h & TOP16
         j = jax.lax.broadcasted_iota(I32, (RB, nkc), 1)
         r = jax.lax.broadcasted_iota(I32, (RB, nkc), 0)
@@ -450,6 +462,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         keep_t = jt < rem
         # concat i32, not bool: i1 vectors don't concatenate on Mosaic
         keep_all = jnp.concatenate([keep_t.astype(I32), keep.astype(I32)], axis=0) != 0
+        if ablate == "sel":
+            _ablate_out(jnp.where(keep, vals0, INVALID))
+            return
         rank = _flat_cumsum(keep_all.astype(I32), RB + 1, C)
         total_new = W + jnp.max(rank)  # rank is non-decreasing in flat order
         jf = jax.lax.broadcasted_iota(I32, (RB + 1, C), 1)
@@ -496,14 +511,15 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
 
 def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
                    *, k, w, mode, skip_ambiguous, hasher_key, C, G,
-                   interpret=False, batched=False, packed_input=False):
+                   interpret=False, batched=False, packed_input=False,
+                   ablate=None):
     """Raw pallas_call invocation (composable inside shard_map/jit)."""
     kind, canonical, rot_offset = hasher_key
     l = k + w - 1
     PADH = max(128, -(-(l - 1) // 128) * 128)
     kernel, SLAB, BC, SP = _make_kernel(
         k, w, mode, skip_ambiguous, kind, canonical, rot_offset, C, G, PADH,
-        batched=batched, packed_in=packed_input,
+        batched=batched, packed_in=packed_input, ablate=ablate,
     )
     BCP = (RB + 1) * C
     cap = G * BC + BCP + TAIL
@@ -557,7 +573,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
 _fused_call = jax.jit(
     _invoke_pallas,
     static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
-                     "interpret", "batched", "packed_input"),
+                     "interpret", "batched", "packed_input", "ablate"),
 )
 
 
