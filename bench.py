@@ -28,8 +28,9 @@ BASELINE_NS_PER_BP = 2.20  # canonical k=21 w=11, AVX2 (bench/results.json)
 
 def main() -> None:
     import jax
-jax.config.update("jax_compilation_cache_dir", "/tmp/smtpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/smtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from simd_minimizers_tpu.hashers import NtHasher
