@@ -1,0 +1,23 @@
+# Developer entry points (the reference's justfile equivalents)
+
+.PHONY: test test-fast bench grid tables multihost-demo
+
+test:
+	python -m pytest tests/ -x -q
+
+test-fast:
+	python -m pytest tests/test_golden.py tests/test_oracle.py tests/test_sweep.py -q
+
+bench:
+	python bench.py
+
+grid:
+	python bench/paper.py
+
+tables:
+	python bench/eval.py
+
+# two JAX processes on one machine, 4 virtual CPU devices each:
+# exercises jax.distributed + process_allgather in parallel/multihost.py
+multihost-demo:
+	python examples/multihost_demo.py

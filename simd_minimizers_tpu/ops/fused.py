@@ -28,7 +28,6 @@ inputs go through the sharded / chunked drivers which add u32 offsets.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -97,30 +96,22 @@ def _win_fold(x, width, op, S):
     return acc
 
 
-def _win_lex_min(hv, pos, w, right_tie):
-    """Sliding-window min over (hash, pos), reference tie semantics."""
+def _win_min1(elem, w):
+    """Single-plane sliding-window u32 min (sparse-table doubling).
 
-    def comb(a, b):
-        ah, ap = a
-        bh, bp = b
-        if right_tie:
-            better = (bh < ah) | ((bh == ah) & (bp > ap))
-        else:
-            better = (bh < ah) | ((bh == ah) & (bp < ap))
-        return jnp.where(better, bh, ah), jnp.where(better, bp, ap)
-
-    f = (hv, pos)
+    Mosaic has no unsigned vector min: bias through signed space
+    (x ^ 0x80000000 preserves unsigned order under signed compare).
+    """
+    bias = jnp.int32(-(1 << 31))
+    f = pltpu.bitcast(elem, jnp.int32) ^ bias
     p = 1
     while p * 2 <= w:
-        L = f[0].shape[1] - p
-        f = comb((f[0][:, :L], f[1][:, :L]), (f[0][:, p : p + L], f[1][:, p : p + L]))
+        L = f.shape[1] - p
+        f = jnp.minimum(f[:, :L], f[:, p : p + L])
         p *= 2
-    C_out = f[0].shape[1] - (w - p)
-    _, wpos = comb(
-        (f[0][:, :C_out], f[1][:, :C_out]),
-        (f[0][:, w - p : w - p + C_out], f[1][:, w - p : w - p + C_out]),
-    )
-    return wpos
+    Cc = f.shape[1] - (w - p)
+    f = jnp.minimum(f[:, :Cc], f[:, w - p : w - p + Cc])
+    return pltpu.bitcast(f ^ bias, jnp.uint32)
 
 
 def _row_shift_down(x, q):
@@ -358,9 +349,6 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             rows = [v2[:, r * C : r * C + SP] for r in range(RB)]
             return jnp.concatenate(rows, axis=0).astype(U32)
 
-        def lane_matrix(slab_ref):
-            return lane_matrix_from(slab_ref[...])
-
         M = lane_matrix_from(jnp.where(even, slab0[...], slab1[...]))
 
         def _ablate_out(x):
@@ -398,12 +386,24 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             nk = nw + I32(w - 1)  # kmers
             kidx = base + r * C + j  # call-local kmer index
             hv = jnp.where(kidx < nk, hv, INVALID)
-        kpos = (base + r * C + j).astype(U32) + off
-
         # ---- sliding window minima ----
-        lpos = _win_lex_min(hv, kpos, w, right_tie=False)[:, :C]
+        # The reference's 16-bit position-packing trick
+        # (src/sliding_min.rs:104-106), wrap-free here because the packed
+        # index is the block-local kmer COLUMN (< C + w - 1 < 2^16): a
+        # single-plane u32 min realizes the exact (top16-hash, leftmost)
+        # order; for the rightmost arm the column is complemented. Invalid
+        # kmers carry hv = 0xFFFFFFFF, which already dominates both
+        # encodings (|j keeps it max).
+        ju = j.astype(U32)
+        elemL = hv | ju
+        lcol = _win_min1(elemL, w)[:, :C] & U32(0xFFFF)
+        rw_c = jax.lax.broadcasted_iota(I32, (RB, C), 0)
+        rowbase = (base + rw_c * C).astype(U32) + off  # (RB, C) global row starts
+        lpos = rowbase + lcol
         if canonical:
-            rpos = _win_lex_min(hv, kpos, w, right_tie=True)[:, :C]
+            elemR = hv | (U32(0xFFFF) - ju)
+            rcol = U32(0xFFFF) - (_win_min1(elemR, w)[:, :C] & U32(0xFFFF))
+            rpos = rowbase + rcol
             tg = ((M >> U32(1)) & U32(1)).astype(I32)
             cnt = _win_fold(tg, l, jnp.add, None)[:, :C]
             sel = jnp.where(2 * cnt > l, lpos, rpos)

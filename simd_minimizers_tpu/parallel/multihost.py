@@ -67,6 +67,7 @@ def local_shard_sketch(
     local = codes_np[s:e]
     from ..ops import backend
 
+    mesh = mesh or shard.default_mesh(local_only=True)
     if backend._use_fused() and mode == pipeline.MODE_MINIMIZERS:
         pos = shard.fused_sharded_sketch(local, k, w, hasher, mode=mode, mesh=mesh)
     else:

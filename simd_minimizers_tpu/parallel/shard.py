@@ -42,8 +42,10 @@ from ..ops.pipeline import (
 AXIS = "data"
 
 
-def default_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def default_mesh(n_devices: int | None = None, local_only: bool = False) -> Mesh:
+    """Mesh over the data axis; local_only restricts to this process's
+    devices (per-host sketching inside a multi-process program)."""
+    devs = jax.local_devices() if local_only else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (AXIS,))
