@@ -179,23 +179,30 @@ def _pack_fold(cs, J, msb):
     Result columns beyond S-J+1 are garbage (callers slice).
     """
 
+    # Mosaic MISCOMPILES left-shifts >= 16 on vectors whose layout carries
+    # an unaligned lane offset (silent wrong lanes — caught by
+    # tests/test_tpu_hardware.py). Multiplies lower correctly and are
+    # bit-identical mod 2^32, so all static left-shifts here are written
+    # as multiplies; right-shifts lower fine.
+    def shl(x, b):
+        return x * U32(1 << b) if b else x
+
     out_len = cs.shape[1] - J + 1
     acc = None
     done = 0
-    part = (cs << U32(30)) if msb else cs  # width-1 pack
+    part = shl(cs, 30) if msb else cs  # width-1 pack
     d = 1
     while True:
         if J & d:
-            seg = part[:, done : done + out_len]
-            if done:
-                seg = (seg >> U32(2 * done)) if msb else (seg << U32(2 * done))
+            shifted = (part >> U32(2 * done)) if msb else shl(part, 2 * done)
+            seg = shifted[:, done : done + out_len]
             acc = seg if acc is None else acc | seg
             done += d
         if d * 2 > J:
             break
         L = part.shape[1] - d
-        nxt = part[:, d : d + L]
-        part = part[:, :L] | ((nxt >> U32(2 * d)) if msb else (nxt << U32(2 * d)))
+        shifted = (part >> U32(2 * d)) if msb else shl(part, 2 * d)
+        part = part[:, :L] | shifted[:, d : d + L]
         d *= 2
     return acc
 
@@ -216,7 +223,9 @@ def _hash_windows(M_u32, hasher_kind, canonical, rot_offset, k, tab, mul_const, 
             sh = k - J
             if sh:
                 Z = jnp.concatenate([Z[:, sh:], Z[:, :sh]], axis=1)
-            ra = Z << U32(32 - 2 * J) if J < 16 else Z
+            # multiply, not shift: Z descends from slice views (see
+            # _pack_fold note on the Mosaic shift-on-slice miscompile)
+            ra = Z * U32(1 << (32 - 2 * J)) if J < 16 else Z
             h = h ^ (~ra)
         return h[:, :nk_cols]
     if hasher_kind == "nt":
@@ -411,7 +420,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             sel = lpos
 
         if skip_ambiguous:
-            A = lane_matrix(amb_slab).astype(I32)
+            A = lane_matrix_from(amb_slab[...]).astype(I32)
             acnt = _win_fold(A, l, jnp.add, None)[:, :C]
             sel = jnp.where(acnt > 0, SKIPPED, sel)
 

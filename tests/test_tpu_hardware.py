@@ -1,0 +1,74 @@
+"""Hardware differential fuzz: fused Mosaic-compiled kernel vs oracle.
+
+These only run when a real TPU is attached (skipped in CPU CI — the
+interpret-mode tests cover semantics there). They catch lowering-specific
+issues (layouts, DMA alignment, unsigned-compare lowering) that the
+interpreter cannot.
+
+Run manually:  JAX_PLATFORMS='' python -m pytest tests/test_tpu_hardware.py -q
+(the default conftest forces CPU; this module overrides it per-process
+only when the env var SMTPU_TPU_TESTS=1 is set.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    os.environ.get("SMTPU_TPU_TESTS") != "1",
+    reason="set SMTPU_TPU_TESTS=1 (with a real TPU attached) to run",
+)
+
+
+@requires_tpu
+def test_fused_fuzz_on_tpu():
+    import jax
+
+    assert jax.devices()[0].platform == "tpu", "TPU required"
+    from simd_minimizers_tpu.hashers import AntiLexHasher, MulHasher, NtHasher
+    from simd_minimizers_tpu.ops import oracle, pipeline
+    from simd_minimizers_tpu.ops.fused import batch_sketch, fused_sketch
+
+    rng = np.random.default_rng(0xF022)
+    configs = [
+        (21, 11, True, NtHasher, "minimizers", False),
+        (5, 7, True, NtHasher, "minimizers", True),
+        (31, 5, False, MulHasher, "minimizers", False),
+        (19, 19, True, AntiLexHasher, "minimizers", False),
+        (5, 7, True, AntiLexHasher, "minimizers", False),
+        (33, 7, True, AntiLexHasher, "minimizers", False),
+        (21, 11, True, MulHasher, "minimizers", False),
+        (5, 7, True, NtHasher, "superkmers", False),
+        (11, 7, False, NtHasher, "closed_syncmers", False),
+        (11, 7, False, NtHasher, "open_syncmers", False),
+        (64, 3, False, NtHasher, "minimizers", False),
+        (2, 2, True, NtHasher, "minimizers", False),
+    ]
+    for k, w, canonical, hcls, mode, amb_on in configs:
+        n = int(rng.integers(40000, 90000))
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+        amb = (rng.random(n) < 0.01).astype(np.uint8) if amb_on else None
+        h = hcls(k, canonical=canonical)
+        got = fused_sketch(codes, k, w, h, mode=mode, ambiguous_np=amb)
+        sel = oracle.selected_stream(codes, k, w, h, ambiguous=amb)
+        if mode == "superkmers":
+            want = oracle.collect_and_dedup_with_index(sel)
+            np.testing.assert_array_equal(got[0], want[0], err_msg=str((k, w, mode)))
+            np.testing.assert_array_equal(got[1], want[1], err_msg=str((k, w, mode)))
+        elif mode.endswith("syncmers"):
+            want = oracle.collect_syncmers(sel, w, mode == "open_syncmers")
+            np.testing.assert_array_equal(got, want, err_msg=str((k, w, mode)))
+        else:
+            want = oracle.collect_and_dedup(sel, skip_sentinel=amb_on)
+            np.testing.assert_array_equal(got, want, err_msg=str((k, w, mode)))
+
+    # batched fuzz
+    reads = [rng.integers(0, 4, int(m), dtype=np.uint8)
+             for m in rng.integers(0, 4096, 40)]
+    h = NtHasher(21, canonical=True)
+    rid, pos = batch_sketch(reads, 21, 11, h)
+    for i, rd in enumerate(reads):
+        want = (oracle.collect_and_dedup(oracle.selected_stream(rd, 21, 11, h))
+                if len(rd) >= 31 else np.zeros(0, np.uint32))
+        np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
