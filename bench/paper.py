@@ -211,7 +211,7 @@ def bench_short(quick=False):
 
 
 def bench_batch(quick=False):
-    """Short-read batches: one read per lane row, one kernel launch.
+    """Short-read batches: dense lane packing, one kernel launch.
 
     Device-resident timing (the tunnel's host<->device bandwidth is an
     environment artifact; on a TPU VM PCIe is ~50x faster).
@@ -222,34 +222,39 @@ def bench_batch(quick=False):
     h = NtHasher(k, canonical=True)
     key, table, mul_const = hasher_jit_args(h)
     rows = []
-    cases = [(100_000, 1000, 1024), (131_072, 250, 1024)]
+    cases = [(100_000, 1000, 1024, 1024), (131_072, 250, 1024, 256),
+             (131_072, 150, 1024, 256)]
     if quick:
         cases = cases[:1]
     rng = np.random.default_rng(5)
-    for B, L, C in cases:
-        BC = F.RB * C
-        G = -(-B // F.RB)
-        buf = np.zeros((G * F.RB, C), np.uint8)
+    for B, L, C, stride in cases:
+        q = C // stride
+        spb = F.RB * q
+        G = -(-B // spb)
+        nslots = G * spb
+        buf = np.zeros((nslots, stride), np.uint8)
         buf[:B, :L] = rng.integers(0, 4, (B, L), dtype=np.uint8)
-        packed = native.pack_2bit_striped(
-            np.concatenate([buf.reshape(-1), np.zeros(F.TAIL, np.uint8)]),
-            G, BC, *F.striped_geometry(C)[1:])
-        lens = np.zeros(G * F.RB, np.int32)
+        lens = np.zeros(nslots, np.int32)
         lens[:B] = L
+        codes = np.concatenate([buf.reshape(-1), np.zeros(F.TAIL, np.uint8)])
+        BC = F.RB * C
+        packed = native.pack_2bit_striped(codes, G, BC, *F.striped_geometry(C)[1:])
         args = (jnp.asarray(packed), jnp.zeros(F.TAIL, jnp.uint32),
                 jnp.asarray(lens), jnp.asarray(table),
                 jnp.asarray([mul_const], np.uint32))
         kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
-                  hasher_key=key, C=C, G=G, batched=True, packed_input=True)
+                  hasher_key=key, C=C, G=G, batched=True, packed_input=True,
+                  stride=stride)
 
         def run():
             return F._fused_call(*args, **kw)[2]
 
         t = timed(run)
         n = B * L
-        rows.append({"reads": B, "len": L, "ns_per_bp": round(t * 1e9 / n, 4),
+        rows.append({"reads": B, "len": L, "stride": stride,
+                     "ns_per_bp": round(t * 1e9 / n, 4),
                      "reads_per_s": round(B / t)})
-        print(f"[batch] {B} x {L}bp: {t*1e9/n:.4f} ns/bp "
+        print(f"[batch] {B} x {L}bp (stride {stride}): {t*1e9/n:.4f} ns/bp "
               f"({B/t/1e6:.2f} M reads/s)", file=sys.stderr)
     return rows
 

@@ -262,7 +262,8 @@ def striped_geometry(C: int) -> tuple[int, int, int]:
 
 
 def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
-                 C, G, PADH, batched=False, packed_in=False, ablate=None):
+                 C, G, PADH, batched=False, packed_in=False, ablate=None,
+                 stride=0):
     l = k + w - 1
     BC = RB * C
     BCP = (RB + 1) * C  # butterfly width incl. the carried-tail row
@@ -273,6 +274,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     # attribute positions to reads (positions near a read's end spill past
     # its C-aligned slot; window indices never do).
     emit_idx = mode == MODE_SUPERKMERS or (batched and mode == MODE_MINIMIZERS)
+    # batched short-read packing: q reads per lane row at a pow2 stride
+    stride = stride or C
+    assert C % stride == 0 and (stride & (stride - 1)) == 0
+    q = C // stride
 
     def kernel(nw_ref, tab_ref, mul_ref, codes_hbm, amb_hbm,
                out_hbm, idx_hbm, count_ref,
@@ -383,12 +388,21 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         j = jax.lax.broadcasted_iota(I32, (RB, nkc), 1)
         r = jax.lax.broadcasted_iota(I32, (RB, nkc), 0)
         if batched:
-            # one read per lane row; nw_ref holds per-row char lengths
+            # q reads per lane row; nw_ref holds per-slot char lengths
             off = U32(0)
+            jm = j & I32(stride - 1)  # position within the read's slot
             lenK = jnp.zeros((RB, nkc), I32)
-            for rr in range(RB):
-                lenK = jnp.where(r == rr, nw_ref[g * RB + rr], lenK)
-            hv = jnp.where(j < lenK - I32(k - 1), hv, INVALID)
+            if q == 1:
+                for rr in range(RB):
+                    lenK = jnp.where(r == rr, nw_ref[g * RB + rr], lenK)
+            else:
+                slot = j // I32(stride)
+                for rr in range(RB):
+                    for ss in range(q):
+                        lenK = jnp.where(
+                            (r == rr) & (slot == ss),
+                            nw_ref[(g * RB + rr) * q + ss], lenK)
+            hv = jnp.where(jm < lenK - I32(k - 1), hv, INVALID)
         else:
             nw = nw_ref[0]  # windows in this call (int32)
             off = nw_ref[1].astype(U32)  # global char offset (u32 bits)
@@ -429,10 +443,19 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         rw = jax.lax.broadcasted_iota(I32, (RB, C), 0)
         widx = base + rw * C + jw
         if batched:
+            jwm = jw & I32(stride - 1)
             lenW = jnp.zeros((RB, C), I32)
-            for rr in range(RB):
-                lenW = jnp.where(rw == rr, nw_ref[g * RB + rr], lenW)
-            valid = jw < lenW - I32(l - 1)
+            if q == 1:
+                for rr in range(RB):
+                    lenW = jnp.where(rw == rr, nw_ref[g * RB + rr], lenW)
+            else:
+                slotw = jw // I32(stride)
+                for rr in range(RB):
+                    for ss in range(q):
+                        lenW = jnp.where(
+                            (rw == rr) & (slotw == ss),
+                            nw_ref[(g * RB + rr) * q + ss], lenW)
+            valid = jwm < lenW - I32(l - 1)
         else:
             valid = widx < nw
         sel = jnp.where(valid, sel, INVALID)
@@ -451,8 +474,8 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             # rolls + selects (skinny concats don't lower on Mosaic).
             rolled = pltpu.roll(sel, 1, axis=1)  # (r,0) <- sel[r, C-1]
             if batched:
-                # rows are independent reads: no cross-row dedup chaining
-                prev = jnp.where(jw == 0, INVALID, rolled)
+                # slots are independent reads: no cross-read dedup chaining
+                prev = jnp.where((jw & I32(stride - 1)) == 0, INVALID, rolled)
             else:
                 colfix = pltpu.roll(rolled, 1, axis=0)  # (r,0) <- sel[r-1, C-1]
                 seam_u = state[1].astype(U32)  # i32 bits -> u32 scalar
@@ -521,18 +544,22 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
 def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
                    *, k, w, mode, skip_ambiguous, hasher_key, C, G,
                    interpret=False, batched=False, packed_input=False,
-                   ablate=None):
+                   ablate=None, stride=0):
     """Raw pallas_call invocation (composable inside shard_map/jit)."""
     kind, canonical, rot_offset = hasher_key
     l = k + w - 1
     PADH = max(128, -(-(l - 1) // 128) * 128)
     kernel, SLAB, BC, SP = _make_kernel(
         k, w, mode, skip_ambiguous, kind, canonical, rot_offset, C, G, PADH,
-        batched=batched, packed_in=packed_input, ablate=ablate,
+        batched=batched, packed_in=packed_input, ablate=ablate, stride=stride,
     )
     BCP = (RB + 1) * C
     cap = G * BC + BCP + TAIL
     emit_idx = mode == MODE_SUPERKMERS or (batched and mode == MODE_MINIMIZERS)
+    # batched short-read packing: q reads per lane row at a pow2 stride
+    stride = stride or C
+    assert C % stride == 0 and (stride & (stride - 1)) == 0
+    q = C // stride
     out_shapes = (
         jax.ShapeDtypeStruct((cap,), jnp.uint32),
         jax.ShapeDtypeStruct((cap if emit_idx else TAIL,), jnp.uint32),
@@ -582,7 +609,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
 _fused_call = jax.jit(
     _invoke_pallas,
     static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
-                     "interpret", "batched", "packed_input", "ablate"),
+                     "interpret", "batched", "packed_input", "ablate", "stride"),
 )
 
 
@@ -669,13 +696,16 @@ def batch_sketch(
     C: int = DEF_C,
     interpret: bool = False,
     G: int | None = None,
+    stride: int | None = None,
 ):
-    """Sketch a batch of reads in one kernel launch (one read per lane row).
+    """Sketch a batch of reads in one kernel launch.
 
     The TPU-native answer to the reference's short-sequence workload
     (/root/reference/bench/src/bin/paper.rs:61-115): instead of paying the
-    streaming warm-up per read, RB*G reads are processed as independent
-    lane rows of one fused kernel. Reads must satisfy len <= C.
+    streaming warm-up per read, reads are packed densely into the lane
+    matrix — each lane row holds C/stride reads at a power-of-two stride
+    (auto-chosen from the longest read), so short Illumina-style reads
+    don't waste row capacity. Reads must satisfy len <= C.
 
     Returns (read_ids, positions) with positions local to each read, or
     (read_ids, positions, window_indices) for super-k-mers; syncmer modes
@@ -683,7 +713,7 @@ def batch_sketch(
     """
     from .. import native
 
-    # per-row lengths ride SMEM scalar prefetch (1MB): split huge batches
+    # per-slot lengths ride SMEM scalar prefetch (1MB): split huge batches
     B_total = reads.shape[0] if isinstance(reads, np.ndarray) and reads.ndim == 2 else len(reads)
     if B_total > MAX_BATCH_READS:
         parts = []
@@ -692,7 +722,8 @@ def batch_sketch(
             asub = ambiguous[s0 : s0 + MAX_BATCH_READS] if ambiguous is not None else None
             parts.append((s0, batch_sketch(sub, k, w, hasher, mode=mode,
                                            ambiguous=asub, C=C,
-                                           interpret=interpret, G=G)))
+                                           interpret=interpret, G=G,
+                                           stride=stride)))
         outs = [np.concatenate([p[i] for _, p in parts]) for i in range(len(parts[0][1]))]
         rid = np.concatenate([p[0] + np.uint32(s0) for s0, p in parts])
         return (rid, *outs[1:])
@@ -704,33 +735,36 @@ def batch_sketch(
         assert l % 2 == 1, f"window length l={l} must be odd to determine strand"
     BC = RB * C
     skip_ambiguous = ambiguous is not None
-    if isinstance(reads, np.ndarray) and reads.ndim == 2:
-        # fast path: equal-length reads as a (B, L) matrix
+    is_matrix = isinstance(reads, np.ndarray) and reads.ndim == 2
+    max_len = int(reads.shape[1]) if is_matrix else max((len(r) for r in reads), default=0)
+    assert max_len <= C, f"batched reads must have len <= {C}"
+    if stride is None:
+        stride = max(1 << max(max_len - 1, 0).bit_length(), 128)
+        stride = min(stride, C)
+    assert C % stride == 0 and (stride & (stride - 1)) == 0
+    q = C // stride  # reads per lane row
+    slots_per_block = RB * q
+    G = max(G or 1, -(-max(B_total, 1) // slots_per_block))
+    nslots = G * slots_per_block
+    buf = np.zeros((nslots, stride), np.uint8)
+    lens = np.zeros(nslots, np.int32)
+    if is_matrix:
         B, L = reads.shape
-        assert L <= C, f"batched reads must have len <= {C}"
-        G = max(G or 1, -(-max(B, 1) // RB))
-        buf = np.zeros((G * RB, C), np.uint8)
         buf[:B, :L] = reads
-        codes = np.concatenate([buf.reshape(-1), np.zeros(TAIL, np.uint8)])
-        lens = np.zeros(G * RB, np.int32)
         lens[:B] = L
-        if skip_ambiguous:
-            abuf = np.zeros((G * RB, C), np.uint8)
-            abuf[:B, :L] = ambiguous
-            amb = np.concatenate([abuf.reshape(-1), np.zeros(TAIL, np.uint8)])
     else:
-        B = len(reads)
-        assert all(len(rd) <= C for rd in reads), f"batched reads must have len <= {C}"
-        G = max(G or 1, -(-max(B, 1) // RB))
-        codes = np.zeros(G * BC + TAIL, np.uint8)
-        lens = np.zeros(G * RB, np.int32)
-        if skip_ambiguous:
-            amb = np.zeros(G * BC + TAIL, np.uint8)
         for i, rd in enumerate(reads):
-            codes[i * C : i * C + len(rd)] = rd
+            buf[i, : len(rd)] = rd
             lens[i] = len(rd)
-            if skip_ambiguous:
-                amb[i * C : i * C + len(rd)] = ambiguous[i]
+    codes = np.concatenate([buf.reshape(-1), np.zeros(TAIL, np.uint8)])
+    if skip_ambiguous:
+        abuf = np.zeros((nslots, stride), np.uint8)
+        if is_matrix:
+            abuf[:B, :L] = ambiguous
+        else:
+            for i, am in enumerate(ambiguous):
+                abuf[i, : len(am)] = am
+        amb = np.concatenate([abuf.reshape(-1), np.zeros(TAIL, np.uint8)])
     _, SLABW, SLABW_PAD = striped_geometry(C)
     packed = native.pack_2bit_striped(codes, G, BC, SLABW, SLABW_PAD)
     amb_packed = (
@@ -743,72 +777,15 @@ def batch_sketch(
         jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
         k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
         C=C, G=G, interpret=interpret, batched=True, packed_input=True,
+        stride=stride,
     )
     cnt = int(count[0])
     out = np.asarray(out[:max(cnt, 1)][:cnt])
     if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
-        return (out // C).astype(np.uint32), (out % C).astype(np.uint32)
+        return (out // stride).astype(np.uint32), (out % stride).astype(np.uint32)
     idx = np.asarray(idx[:max(cnt, 1)][:cnt])
-    read_ids = (idx // C).astype(np.uint32)
-    local = out - read_ids * np.uint32(C)
+    read_ids = (idx // stride).astype(np.uint32)
+    local = out - read_ids * np.uint32(stride)
     if mode == MODE_SUPERKMERS:
-        return read_ids, local, (idx % C).astype(np.uint32)
+        return read_ids, local, (idx % stride).astype(np.uint32)
     return read_ids, local
-
-
-def sketch_long(
-    codes_np: np.ndarray,
-    k: int,
-    w: int,
-    hasher: KmerHasher,
-    mode: str = MODE_MINIMIZERS,
-    ambiguous_np: np.ndarray | None = None,
-    C: int = DEF_C,
-    span_chars: int = 1 << 29,
-    interpret: bool = False,
-):
-    """Stream a sequence of up to 2^32 chars through span-sized fused calls.
-
-    Spans overlap by l-1 chars so every window is owned by one span;
-    positions come out sequence-global via the kernel's u32 offset, and
-    spans merge with seam dedup (the multi-shard scheme of
-    parallel/multihost.py applied to one device). Mirrors the reference's
-    "split inputs over 4 GB chars" guidance (src/sliding_min.rs:96-99).
-    """
-    l = k + w - 1
-    n = int(codes_np.shape[0])
-    assert n < (1 << 32), "positions are u32: 2^32 chars max per sequence"
-    empty = np.zeros(0, dtype=np.uint32)
-    if n < l:
-        return (empty, empty) if mode == MODE_SUPERKMERS else empty
-    if n <= span_chars:
-        return fused_sketch(codes_np, k, w, hasher, mode=mode,
-                            ambiguous_np=ambiguous_np, C=C, interpret=interpret)
-    nw = n - l + 1
-    spans = []
-    idxs = []
-    s = 0
-    while s < nw:
-        e = min(s + span_chars - (l - 1), nw)
-        chars_end = min(e - 1 + l, n)
-        amb = ambiguous_np[s:chars_end] if ambiguous_np is not None else None
-        res = fused_sketch(codes_np[s:chars_end], k, w, hasher, mode=mode,
-                           ambiguous_np=amb, C=C, offset=s, interpret=interpret)
-        if mode == MODE_SUPERKMERS:
-            spans.append(res[0])
-            idxs.append(res[1])
-        else:
-            spans.append(res)
-        s = e
-    if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
-        return np.concatenate(spans)  # window indices never repeat across spans
-    if mode == MODE_SUPERKMERS:
-        pos, sk = [spans[0]], [idxs[0]]
-        for p, i in zip(spans[1:], idxs[1:]):
-            drop = 1 if (pos[-1].size and p.size and p[0] == pos[-1][-1]) else 0
-            pos.append(p[drop:])
-            sk.append(i[drop:])
-        return np.concatenate(pos), np.concatenate(sk)
-    from ..parallel.multihost import merge_shard_positions
-
-    return merge_shard_positions(spans)

@@ -81,3 +81,39 @@ def test_batch_split_over_max(monkeypatch):
     for i in range(11):
         want = oracle.collect_and_dedup(oracle.selected_stream(reads[i], k, w, h))
         np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+def test_batch_dense_short_reads(canonical):
+    """q = C/stride > 1: multiple reads per lane row (auto pow2 stride)."""
+    k, w = 21, 11
+    lens = [150, 0, 200, 31, 100, 250, 37, 250, 199, 64, 250, 180, 90]
+    reads = _reads(lens)
+    h = NtHasher(k, canonical=canonical)
+    rid, pos = batch_sketch(reads, k, w, h, C=C, interpret=True)  # stride 256
+    for i, rd in enumerate(reads):
+        want = (
+            oracle.collect_and_dedup(oracle.selected_stream(rd, k, w, h))
+            if len(rd) >= k + w - 1 else np.zeros(0, np.uint32)
+        )
+        np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
+
+
+def test_batch_dense_superkmers_and_ambiguous():
+    k, w = 5, 7
+    lens = [100, 120, 50, 128, 90]
+    reads = _reads(lens)
+    h = NtHasher(k, canonical=True)
+    rid, pos, widx = batch_sketch(reads, k, w, h, mode=pipeline.MODE_SUPERKMERS,
+                                  C=C, interpret=True)
+    for i, rd in enumerate(reads):
+        want_pos, want_idx = oracle.collect_and_dedup_with_index(
+            oracle.selected_stream(rd, k, w, h))
+        np.testing.assert_array_equal(pos[rid == i], want_pos, err_msg=f"read {i}")
+        np.testing.assert_array_equal(widx[rid == i], want_idx, err_msg=f"read {i}")
+    amb = [(RNG.random(n) < 0.05).astype(np.uint8) for n in lens]
+    rid, pos = batch_sketch(reads, k, w, h, ambiguous=amb, C=C, interpret=True)
+    for i, rd in enumerate(reads):
+        sel = oracle.selected_stream(rd, k, w, h, ambiguous=amb[i])
+        want = oracle.collect_and_dedup(sel, skip_sentinel=True)
+        np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
