@@ -789,3 +789,61 @@ def batch_sketch(
     if mode == MODE_SUPERKMERS:
         return read_ids, local, (idx % stride).astype(np.uint32)
     return read_ids, local
+
+
+def sketch_long(
+    codes_np: np.ndarray,
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = MODE_MINIMIZERS,
+    ambiguous_np: np.ndarray | None = None,
+    C: int = DEF_C,
+    span_chars: int = 1 << 29,
+    interpret: bool = False,
+):
+    """Stream a sequence of up to 2^32 chars through span-sized fused calls.
+
+    Spans overlap by l-1 chars so every window is owned by one span;
+    positions come out sequence-global via the kernel's u32 offset, and
+    spans merge with seam dedup (the multi-shard scheme of
+    parallel/multihost.py applied to one device). Mirrors the reference's
+    "split inputs over 4 GB chars" guidance (src/sliding_min.rs:96-99).
+    """
+    l = k + w - 1
+    n = int(codes_np.shape[0])
+    assert n < (1 << 32), "positions are u32: 2^32 chars max per sequence"
+    empty = np.zeros(0, dtype=np.uint32)
+    if n < l:
+        return (empty, empty) if mode == MODE_SUPERKMERS else empty
+    if n <= span_chars:
+        return fused_sketch(codes_np, k, w, hasher, mode=mode,
+                            ambiguous_np=ambiguous_np, C=C, interpret=interpret)
+    nw = n - l + 1
+    spans = []
+    idxs = []
+    s = 0
+    while s < nw:
+        e = min(s + span_chars - (l - 1), nw)
+        chars_end = min(e - 1 + l, n)
+        amb = ambiguous_np[s:chars_end] if ambiguous_np is not None else None
+        res = fused_sketch(codes_np[s:chars_end], k, w, hasher, mode=mode,
+                           ambiguous_np=amb, C=C, offset=s, interpret=interpret)
+        if mode == MODE_SUPERKMERS:
+            spans.append(res[0])
+            idxs.append(res[1])
+        else:
+            spans.append(res)
+        s = e
+    if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
+        return np.concatenate(spans)  # window indices never repeat across spans
+    if mode == MODE_SUPERKMERS:
+        pos, sk = [spans[0]], [idxs[0]]
+        for p, i in zip(spans[1:], idxs[1:]):
+            drop = 1 if (pos[-1].size and p.size and p[0] == pos[-1][-1]) else 0
+            pos.append(p[drop:])
+            sk.append(i[drop:])
+        return np.concatenate(pos), np.concatenate(sk)
+    from ..parallel.multihost import merge_shard_positions
+
+    return merge_shard_positions(spans)

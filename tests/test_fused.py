@@ -90,3 +90,19 @@ def test_fused_generic_text_mulhash():
     h = MulHasher(k)
     got = fused_sketch(text, k, w, h, C=C, interpret=True)
     np.testing.assert_array_equal(got, _want(text, k, w, h))
+
+
+def test_sketch_long_spans():
+    """Span streaming with u32 offsets and seam merge (interpret mode)."""
+    from simd_minimizers_tpu.ops.fused import sketch_long
+
+    k, w = 21, 11
+    codes = RNG.integers(0, 4, 60000, dtype=np.uint8)
+    h = NtHasher(k, canonical=True)
+    got = sketch_long(codes, k, w, h, C=C, span_chars=20000, interpret=True)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h))
+    # offset-only path
+    from simd_minimizers_tpu.ops.fused import fused_sketch
+
+    got2 = fused_sketch(codes[:20000], k, w, h, C=C, offset=1000, interpret=True)
+    np.testing.assert_array_equal(got2, _want(codes[:20000], k, w, h) + 1000)

@@ -72,3 +72,37 @@ def test_fused_fuzz_on_tpu():
         want = (oracle.collect_and_dedup(oracle.selected_stream(rd, 21, 11, h))
                 if len(rd) >= 31 else np.zeros(0, np.uint32))
         np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
+
+
+@requires_tpu
+def test_sketch_long_spans_on_tpu():
+    """Compiled span streaming with u32 offsets + seam merge."""
+    import numpy as np
+
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import oracle
+    from simd_minimizers_tpu.ops.fused import sketch_long
+
+    rng = np.random.default_rng(0x10E6)
+    codes = rng.integers(0, 4, 400000, dtype=np.uint8)
+    h = NtHasher(21, canonical=True)
+    got = sketch_long(codes, 21, 11, h, span_chars=150000)
+    want = oracle.collect_and_dedup(oracle.selected_stream(codes, 21, 11, h))
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_tpu
+def test_fused_sharded_on_tpu():
+    """Pallas kernel inside shard_map on the real (1-chip) mesh."""
+    import numpy as np
+
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import oracle
+    from simd_minimizers_tpu.parallel.shard import fused_sharded_sketch
+
+    rng = np.random.default_rng(0x5A)
+    codes = rng.integers(0, 4, 300000, dtype=np.uint8)
+    h = NtHasher(21, canonical=True)
+    got = fused_sharded_sketch(codes, 21, 11, h)
+    want = oracle.collect_and_dedup(oracle.selected_stream(codes, 21, 11, h))
+    np.testing.assert_array_equal(got, want)
