@@ -18,6 +18,14 @@ Quick start::
     out.positions, out.superkmer_indices, out.values_u64()
 """
 
+import os as _os
+
+if _os.environ.get("SMTPU_NO_COMPILE_CACHE") != "1":
+    # Mosaic compiles take minutes through remote tunnels; persist them.
+    # Set before any jit: harmless if jax is already initialized elsewhere.
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/smtpu_jax_cache")
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
+
 from .api import (
     Builder,
     Output,
