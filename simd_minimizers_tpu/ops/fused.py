@@ -325,9 +325,11 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         def _():
             in_copy(g + 1, slab0, 0).start()
 
-        tp = pltpu.make_async_copy(out_hbm.at[pl.ds(W, TAIL)], tailbuf, sem2)
-        tp.start()
+        # In the fast path (no idx plane) the append tail lives in the
+        # persistent tailbuf VMEM scratch; only emit_idx re-reads from HBM.
         if emit_idx:
+            tp = pltpu.make_async_copy(out_hbm.at[pl.ds(W, TAIL)], tailbuf, sem2)
+            tp.start()
             tp2 = pltpu.make_async_copy(idx_hbm.at[pl.ds(W, TAIL)], tailbuf2, sem2)
             tp2.start()
             tp2.wait()
@@ -340,7 +342,8 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     amb_hbm.at[pl.ds(g * BC, SLAB)], amb_slab, sem2)
             ap.start()
             ap.wait()
-        tp.wait()
+        if emit_idx:
+            tp.wait()
 
         @pl.when(even)
         def _():
@@ -519,15 +522,47 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         packed = _butterfly(planes, shift, C)
 
         # ---- aligned append: write the full packed block at W ----
-        outbuf[:] = packed[0].reshape(BCP)
-        od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
-        od.start()
         if emit_idx:
+            # serial path: the HBM tail re-read above requires completed writes
+            outbuf[:] = packed[0].reshape(BCP)
+            od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
+            od.start()
             idxbuf[:] = packed[1].reshape(BCP)
             od2 = pltpu.make_async_copy(idxbuf, idx_hbm.at[pl.ds(W, BCP)], sem2)
             od2.start()
             od2.wait()
-        od.wait()
+            od.wait()
+        else:
+            # pipelined path: the new tail is extracted IN VMEM from the
+            # just-packed block (out[W'..W'+1024) lies inside [W, W+BCP),
+            # at a TAIL-aligned offset), so this block's write only has to
+            # complete before the NEXT block's write starts (overlapping
+            # regions: g's INVALID tail is overwritten by g+1). The wait
+            # for write g-1 therefore lands after block g's compute.
+            @pl.when(g > 0)  # g-1's write still reads outbuf: wait before reuse
+            def _():
+                pltpu.make_async_copy(
+                    outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
+
+            outbuf[:] = packed[0].reshape(BCP)
+            W_next = (total_new // TAIL) * TAIL
+            # new tail = packed flat [delta, delta+TAIL), delta TAIL-aligned;
+            # dynamic VMEM reads/DMA don't lower, so select among the static
+            # TAIL-aligned candidate slots (BCP/TAIL of them).
+            slot_idx = (W_next - W) // TAIL
+            acc = jnp.zeros((1, TAIL), U32)
+            for cslot in range(BCP // TAIL):
+                rr, col = divmod(cslot * TAIL, C)
+                cand = packed[0][rr : rr + 1, col : col + TAIL]
+                acc = jnp.where(slot_idx == cslot, cand, acc)
+            tailbuf[:] = acc.reshape(TAIL)
+            od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
+            od.start()
+
+            @pl.when(g == G - 1)
+            def _():
+                pltpu.make_async_copy(
+                    outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
 
         state[0] = total_new
         # seam for the next block: sel of this block's last window slot
