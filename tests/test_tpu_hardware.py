@@ -45,12 +45,14 @@ def test_fused_fuzz_on_tpu():
         (64, 3, False, NtHasher, "minimizers", False),
         (2, 2, True, NtHasher, "minimizers", False),
     ]
-    for k, w, canonical, hcls, mode, amb_on in configs:
+    for i, (k, w, canonical, hcls, mode, amb_on) in enumerate(configs):
         n = int(rng.integers(40000, 90000))
         codes = rng.integers(0, 4, n, dtype=np.uint8)
         amb = (rng.random(n) < 0.01).astype(np.uint8) if amb_on else None
         h = hcls(k, canonical=canonical)
-        got = fused_sketch(codes, k, w, h, mode=mode, ambiguous_np=amb)
+        # alternate exact and over-provisioned grids (masked tail blocks)
+        G = 8 if i % 2 else None
+        got = fused_sketch(codes, k, w, h, mode=mode, ambiguous_np=amb, G=G)
         sel = oracle.selected_stream(codes, k, w, h, ambiguous=amb)
         if mode == "superkmers":
             want = oracle.collect_and_dedup_with_index(sel)
