@@ -80,7 +80,13 @@ def sketch_batch(
     row); elsewhere the XLA pipeline runs per read and results are
     concatenated. Both orderings and values are identical.
     """
-    if _use_fused():
+    is_2bit = all(
+        rd.size == 0 or int(np.max(rd)) <= 3
+        for rd in (reads if not isinstance(reads, np.ndarray) else [reads.ravel()])
+    )
+    if _use_fused() and is_2bit:
+        # the fused batch path ships 2-bit packed codes; general ASCII
+        # text (&[u8] + MulHasher) takes the per-read pipeline below
         from . import fused
 
         G = _bucket_G(-(-max(len(reads), 1) // fused.RB))

@@ -773,6 +773,12 @@ def batch_sketch(
     is_matrix = isinstance(reads, np.ndarray) and reads.ndim == 2
     max_len = int(reads.shape[1]) if is_matrix else max((len(r) for r in reads), default=0)
     assert max_len <= C, f"batched reads must have len <= {C}"
+    if is_matrix:
+        assert reads.size == 0 or int(reads.max()) <= 3, \
+            "batch_sketch ships 2-bit codes; general text goes via backend.sketch_batch"
+    else:
+        assert all(len(r) == 0 or int(np.max(r)) <= 3 for r in reads), \
+            "batch_sketch ships 2-bit codes; general text goes via backend.sketch_batch"
     if stride is None:
         stride = max(1 << max(max_len - 1, 0).bit_length(), 128)
         stride = min(stride, C)

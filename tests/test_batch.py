@@ -117,3 +117,17 @@ def test_batch_dense_superkmers_and_ambiguous():
         sel = oracle.selected_stream(rd, k, w, h, ambiguous=amb[i])
         want = oracle.collect_and_dedup(sel, skip_sentinel=True)
         np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"read {i}")
+
+
+def test_batch_generic_text_via_backend():
+    """General ASCII reads route through the per-read pipeline path."""
+    from simd_minimizers_tpu.hashers import MulHasher
+    from simd_minimizers_tpu.ops import backend
+
+    k, w = 7, 5
+    texts = [RNG.integers(32, 127, n, dtype=np.uint8) for n in [100, 300, 50]]
+    h = MulHasher(k)
+    rid, pos = backend.sketch_batch(texts, k, w, h)
+    for i, t in enumerate(texts):
+        want = oracle.collect_and_dedup(oracle.selected_stream(t, k, w, h))
+        np.testing.assert_array_equal(pos[rid == i], want, err_msg=f"text {i}")
