@@ -29,7 +29,10 @@ BASELINE_NS_PER_BP = 2.20  # canonical k=21 w=11, AVX2 (bench/results.json)
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/smtpu_jax_cache")
+    import os
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "smtpu", "jax")
+    os.makedirs(cache, mode=0o700, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 

@@ -20,10 +20,25 @@ Quick start::
 
 import os as _os
 
+
+def cache_dir(sub: str = "") -> str:
+    """Per-user cache directory (0700) for compiled artifacts.
+
+    Shared /tmp is not used: a world-writable predictable path would let
+    another local user pre-plant a .so / jit cache entry.
+    """
+    root = _os.environ.get("XDG_CACHE_HOME") or _os.path.join(
+        _os.path.expanduser("~"), ".cache"
+    )
+    d = _os.path.join(root, "smtpu", sub) if sub else _os.path.join(root, "smtpu")
+    _os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
 if _os.environ.get("SMTPU_NO_COMPILE_CACHE") != "1":
     # Mosaic compiles take minutes through remote tunnels; persist them.
     # Set before any jit: harmless if jax is already initialized elsewhere.
-    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/smtpu_jax_cache")
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir("jax"))
     _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2.0")
 
 from .api import (

@@ -44,15 +44,30 @@ class Output:
     def _codes(self) -> np.ndarray:
         return self.seq.codes()
 
+    @property
+    def _bits(self) -> int:
+        # 2 bits/char for DNA, 8 for general ASCII text (GenericSeq)
+        return getattr(self.seq, "char_bits", 2)
+
     def values_u64(self) -> np.ndarray:
         if self.canonical:
-            return values.canonical_kmer_values_u64(self._codes(), self.positions, self.length)
-        return values.kmer_values_u64(self._codes(), self.positions, self.length)
+            return values.canonical_kmer_values_u64(
+                self._codes(), self.positions, self.length, self._bits)
+        return values.kmer_values_u64(self._codes(), self.positions, self.length, self._bits)
 
     def values_u128(self) -> list[int]:
         if self.canonical:
-            return values.canonical_kmer_values_u128(self._codes(), self.positions, self.length)
-        return values.kmer_values_u128(self._codes(), self.positions, self.length)
+            return values.canonical_kmer_values_u128(
+                self._codes(), self.positions, self.length, self._bits)
+        return values.kmer_values_u128(self._codes(), self.positions, self.length, self._bits)
+
+    def values_u128_limbs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(lo, hi) u64 limb arrays — vectorized u128s for sketch-scale use."""
+        if self.canonical:
+            return values.canonical_kmer_values_u128_limbs(
+                self._codes(), self.positions, self.length, self._bits)
+        return values.kmer_values_u128_limbs(
+            self._codes(), self.positions, self.length, self._bits)
 
     def pos_and_values_u64(self) -> tuple[np.ndarray, np.ndarray]:
         return self.positions, self.values_u64()
@@ -192,11 +207,15 @@ def _builder_run_batch(self, reads, ambiguous=None):
 
     reads: list of sequences (any accepted type). Returns (read_ids,
     positions[, superkmer indices]) ordered by read; positions are local
-    to each read. See ops/fused.batch_sketch.
+    to each read. See ops/batch.sketch_batch.
     """
     from .ops import backend, pipeline
+    from .seq.packed import GenericSeq
 
-    codes = [as_seq(r).codes() for r in reads]
+    seqs = [as_seq(r) for r in reads]
+    codes = [s.codes() for s in seqs]
+    # the seq types decide DNA vs general text exactly — no O(n) probe
+    dna = not any(isinstance(s, GenericSeq) for s in seqs)
     h = self._resolved_hasher()
     if self.syncmer != _SYNCMER_NONE:
         mode = (
@@ -209,7 +228,7 @@ def _builder_run_batch(self, reads, ambiguous=None):
     else:
         mode = pipeline.MODE_MINIMIZERS
     return backend.sketch_batch(codes, self.k, self.w, h, mode=mode,
-                                ambiguous=ambiguous)
+                                ambiguous=ambiguous, dna=dna)
 
 
 Builder.run_batch = _builder_run_batch

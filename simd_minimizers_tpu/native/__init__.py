@@ -15,7 +15,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 
@@ -31,9 +30,12 @@ def _build_and_load():
         return _lib
     _tried = True
     try:
+        from .. import cache_dir
+
         with open(_SRC, "rb") as f:
             tag = hashlib.sha256(f.read()).hexdigest()[:16]
-        cache = os.path.join(tempfile.gettempdir(), f"smtpu_packseq_{tag}.so")
+        # per-user 0700 cache dir: nobody else can pre-plant the .so
+        cache = os.path.join(cache_dir(), f"packseq_{tag}.so")
         if not os.path.exists(cache):
             tmp = cache + f".{os.getpid()}.tmp"
             subprocess.run(
@@ -130,7 +132,8 @@ def fasta_scan(buf: np.ndarray, max_records: int = 1 << 20):
             names.append(line)
         elif line:
             cur.append(line)
-    seqs.append(b"".join(cur))
+    if cur or names:  # a buffer with no data at all has zero records
+        seqs.append(b"".join(cur))
     if len(seqs) > len(names):  # headerless
         names = [b""] * len(seqs)
     if names and len(seqs) < len(names):

@@ -89,10 +89,15 @@ int64_t fasta_scan(const uint8_t* buf, size_t len, uint8_t* codes,
             i++;
             continue;
         }
-        // sequence line
+        // sequence line; data before any '>' opens an implicit record 0
+        // (headerless FASTA), matching the NumPy fallback in __init__.py
         while (i < len && buf[i] != '\n') {
             uint8_t c = buf[i];
             if (c != '\r') {
+                if (nrec == 0) {
+                    if (max_recs < 1) return -1;
+                    starts[nrec++] = (int64_t)w;
+                }
                 codes[w] = (uint8_t)((c >> 1) & 3);
                 amb[w] = (uint8_t)(1 - IS_ACGT[c]);
                 w++;

@@ -2,7 +2,7 @@
 
 The two backends are bit-identical (enforced by tests/test_fused.py and
 tests/test_pipeline_vs_oracle.py); the fused kernel is ~4x faster on TPU
-(0.31 vs 1.16 ns/bp canonical k=21 w=11 on v5e).
+(0.30 vs 1.1 ns/bp canonical k=21 w=11 on v5e).
 """
 
 from __future__ import annotations
@@ -13,6 +13,10 @@ import numpy as np
 
 from ..hashers import KmerHasher
 from . import pipeline
+
+# beyond this many windows, the non-TPU path streams fixed-geometry chunks
+# (ops/chunked.py) instead of building one giant lane matrix
+PIPELINE_CHUNK_WINDOWS = 1 << 24
 
 
 @functools.cache
@@ -26,7 +30,11 @@ def _use_fused() -> bool:
 
 
 def _bucket_G(G: int) -> int:
-    """Round the grid size up to a power of two to bound recompiles."""
+    """Round the grid size up to a power of two to bound recompiles.
+
+    Dead blocks are skipped at runtime by the kernel's active-block gating,
+    so over-provisioning costs a few SMEM compares per dead block.
+    """
     return 1 << (G - 1).bit_length() if G > 1 else 1
 
 
@@ -40,10 +48,10 @@ def sketch(
 ):
     """Positions (or (positions, superkmer indices)) via the best backend."""
     n = int(codes_np.shape[0])
+    l = k + w - 1
     if _use_fused():
         from . import fused
 
-        l = k + w - 1
         if n >= l:
             if mode == pipeline.MODE_OPEN_SYNCMERS:
                 assert w % 2 == 1, "open syncmers require odd w"
@@ -60,51 +68,37 @@ def sketch(
         return fused.fused_sketch(
             codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np, G=G
         )
+    if n >= l and (n - l + 1) > PIPELINE_CHUNK_WINDOWS:
+        from . import chunked
+
+        return chunked.sketch(
+            codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np,
+            chunk_windows=PIPELINE_CHUNK_WINDOWS,
+        )
     return pipeline.run_pipeline(
         codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np
     )
 
 
 def sketch_batch(
-    reads: list[np.ndarray],
+    reads,
     k: int,
     w: int,
     hasher: KmerHasher,
     mode: str = pipeline.MODE_MINIMIZERS,
-    ambiguous: list[np.ndarray] | None = None,
-    C: int = 4096,
+    ambiguous=None,
+    C: int | None = None,
+    dna: bool | None = None,
 ):
     """Batched reads: (read_ids, positions[, superkmer indices]).
 
-    On TPU all reads go through ONE fused kernel launch (one read per lane
-    row); elsewhere the XLA pipeline runs per read and results are
-    concatenated. Both orderings and values are identical.
+    All reads of a stride bucket go through ONE launch (fused Pallas kernel
+    on TPU for 2-bit DNA codes, the XLA pipeline elsewhere / for general
+    text); see ops/batch.py. Results are ordered by read and bit-identical
+    to sketching each read alone.
     """
-    is_2bit = all(
-        rd.size == 0 or int(np.max(rd)) <= 3
-        for rd in (reads if not isinstance(reads, np.ndarray) else [reads.ravel()])
-    )
-    if _use_fused() and is_2bit:
-        # the fused batch path ships 2-bit packed codes; general ASCII
-        # text (&[u8] + MulHasher) takes the per-read pipeline below
-        from . import fused
+    from . import batch
 
-        G = _bucket_G(-(-max(len(reads), 1) // fused.RB))
-        return fused.batch_sketch(reads, k, w, hasher, mode=mode,
-                                  ambiguous=ambiguous, C=C, G=G)
-    rids, poss, idxs = [], [], []
-    for i, rd in enumerate(reads):
-        amb = ambiguous[i] if ambiguous is not None else None
-        res = pipeline.run_pipeline(rd, k, w, hasher, mode=mode, ambiguous_np=amb)
-        if mode == pipeline.MODE_SUPERKMERS:
-            pos, idx = res
-            idxs.append(idx)
-        else:
-            pos = res
-        poss.append(pos)
-        rids.append(np.full(pos.size, i, np.uint32))
-    rid = np.concatenate(rids) if rids else np.zeros(0, np.uint32)
-    pos = np.concatenate(poss) if poss else np.zeros(0, np.uint32)
-    if mode == pipeline.MODE_SUPERKMERS:
-        return rid, pos, np.concatenate(idxs) if idxs else np.zeros(0, np.uint32)
-    return rid, pos
+    return batch.sketch_batch(
+        reads, k, w, hasher, mode=mode, ambiguous=ambiguous, C=C, dna=dna
+    )

@@ -54,8 +54,6 @@ TOP16 = np.uint32(0xFFFF_0000)
 
 # Block geometry: RB lane-rows of C owned windows per grid step.
 RB = 8
-# per-row lengths ride SMEM scalar prefetch (1MB): cap reads per launch
-MAX_BATCH_READS = 1 << 17
 DEF_C = 4096
 
 
@@ -262,22 +260,14 @@ def striped_geometry(C: int) -> tuple[int, int, int]:
 
 
 def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
-                 C, G, PADH, batched=False, packed_in=False, ablate=None,
-                 stride=0):
+                 C, G, PADH, packed_in=False, ablate=None):
     l = k + w - 1
     BC = RB * C
     BCP = (RB + 1) * C  # butterfly width incl. the carried-tail row
     SP = C + PADH  # columns per row (>= C + l - 1)
     SLAB, SLABW, SLABW_PAD = striped_geometry(C)  # chars staged per block
     assert PADH <= TAIL
-    # batched mode also compacts the window-index plane so the host can
-    # attribute positions to reads (positions near a read's end spill past
-    # its C-aligned slot; window indices never do).
-    emit_idx = mode == MODE_SUPERKMERS or (batched and mode == MODE_MINIMIZERS)
-    # batched short-read packing: q reads per lane row at a pow2 stride
-    stride = stride or C
-    assert C % stride == 0 and (stride & (stride - 1)) == 0
-    q = C // stride
+    emit_idx = mode == MODE_SUPERKMERS
 
     def kernel(nw_ref, tab_ref, mul_ref, codes_hbm, amb_hbm,
                out_hbm, idx_hbm, count_ref,
@@ -289,6 +279,15 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         def _():
             state[0] = 0  # total kept
             state[1] = -1  # dedup seam: INVALID (0xffffffff) as i32 bits
+
+        # Active-block gating: grids are power-of-two bucketed to bound
+        # Mosaic recompiles, so G may over-provision. Active blocks form a
+        # contiguous prefix (those with any window < nw); dead blocks skip
+        # compute, input DMA, and output appends entirely, costing a few
+        # SMEM compares each instead of a full block of work.
+        nw_total = nw_ref[0]
+        active = g * BC < nw_total
+        prev_active = (g > 0) & ((g - 1) * BC < nw_total)
 
         # Aligned-append state: W = aligned write base, rem = tail carried
         # in out[W : W + rem] (re-read below; alignment keeps Mosaic happy).
@@ -316,285 +315,262 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             in_copy(0, slab0, 0).start()
 
         even = g % 2 == 0
+        next_active = (g + 1 < G) & ((g + 1) * BC < nw_total)
 
-        @pl.when((g + 1 < G) & even)
+        @pl.when(next_active & even)
         def _():
             in_copy(g + 1, slab1, 1).start()
 
-        @pl.when((g + 1 < G) & (~even))
+        @pl.when(next_active & (~even))
         def _():
             in_copy(g + 1, slab0, 0).start()
 
-        # In the fast path (no idx plane) the append tail lives in the
-        # persistent tailbuf VMEM scratch; only emit_idx re-reads from HBM.
-        if emit_idx:
-            tp = pltpu.make_async_copy(out_hbm.at[pl.ds(W, TAIL)], tailbuf, sem2)
-            tp.start()
-            tp2 = pltpu.make_async_copy(idx_hbm.at[pl.ds(W, TAIL)], tailbuf2, sem2)
-            tp2.start()
-            tp2.wait()
-        if skip_ambiguous:
-            if packed_in:
-                ap = pltpu.make_async_copy(
-                    amb_hbm.at[pl.ds(g * SLABW_PAD, SLABW_PAD)], amb_slab, sem2)
-            else:
-                ap = pltpu.make_async_copy(
-                    amb_hbm.at[pl.ds(g * BC, SLAB)], amb_slab, sem2)
-            ap.start()
-            ap.wait()
-        if emit_idx:
-            tp.wait()
+        # The first dead block absorbs the last active block's pending
+        # pipelined output-append wait; later dead blocks have nothing
+        # pending (wait descriptors only need the semaphore + size).
+        if not emit_idx and ablate is None:
+            @pl.when((~active) & prev_active)
+            def _():
+                pltpu.make_async_copy(
+                    outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
 
-        @pl.when(even)
-        def _():
-            in_copy(g, slab0, 0).wait()
+        def body():
+            # In the fast path (no idx plane) the append tail lives in the
+            # persistent tailbuf VMEM scratch; only emit_idx re-reads HBM.
+            if emit_idx:
+                tp = pltpu.make_async_copy(out_hbm.at[pl.ds(W, TAIL)], tailbuf, sem2)
+                tp.start()
+                tp2 = pltpu.make_async_copy(idx_hbm.at[pl.ds(W, TAIL)], tailbuf2, sem2)
+                tp2.start()
+                tp2.wait()
+            if skip_ambiguous:
+                if packed_in:
+                    ap = pltpu.make_async_copy(
+                        amb_hbm.at[pl.ds(g * SLABW_PAD, SLABW_PAD)], amb_slab, sem2)
+                else:
+                    ap = pltpu.make_async_copy(
+                        amb_hbm.at[pl.ds(g * BC, SLAB)], amb_slab, sem2)
+                ap.start()
+                ap.wait()
+            if emit_idx:
+                tp.wait()
 
-        @pl.when(~even)
-        def _():
-            in_copy(g, slab1, 1).wait()
+            @pl.when(even)
+            def _():
+                in_copy(g, slab0, 0).wait()
 
-        # ---- lane matrix (RB, SP): row r = chars[r*C : r*C + SP] ----
-        def lane_matrix_from(val):
-            if packed_in:
-                ww = val.reshape(1, SLABW_PAD)[:, :SLABW]
-                X = pltpu.repeat(ww, 16, axis=1)  # X[:, t*SLABW + m] = word m
-                t = jax.lax.broadcasted_iota(I32, (1, 16 * SLABW), 1) // SLABW
-                chars = (X >> (U32(2) * t.astype(U32))) & U32(3)  # natural order
-                rows = [chars[:, r * C : r * C + SP] for r in range(RB)]
-                return jnp.concatenate(rows, axis=0)
-            v2 = val.reshape(1, val.shape[0])
-            rows = [v2[:, r * C : r * C + SP] for r in range(RB)]
-            return jnp.concatenate(rows, axis=0).astype(U32)
+            @pl.when(~even)
+            def _():
+                in_copy(g, slab1, 1).wait()
 
-        M = lane_matrix_from(jnp.where(even, slab0[...], slab1[...]))
+            # ---- lane matrix (RB, SP): row r = chars[r*C : r*C + SP] ----
+            def lane_matrix_from(val):
+                if packed_in:
+                    ww = val.reshape(1, SLABW_PAD)[:, :SLABW]
+                    X = pltpu.repeat(ww, 16, axis=1)  # X[:, t*SLABW + m] = word m
+                    t = jax.lax.broadcasted_iota(I32, (1, 16 * SLABW), 1) // SLABW
+                    chars = (X >> (U32(2) * t.astype(U32))) & U32(3)  # natural order
+                    rows = [chars[:, r * C : r * C + SP] for r in range(RB)]
+                    return jnp.concatenate(rows, axis=0)
+                v2 = val.reshape(1, val.shape[0])
+                rows = [v2[:, r * C : r * C + SP] for r in range(RB)]
+                return jnp.concatenate(rows, axis=0).astype(U32)
 
-        def _ablate_out(x):
-            # bench-only: checksum a stage's result and stop (prevents DCE)
-            state[0] = jnp.sum(pltpu.bitcast(x, jnp.int32) & 0xFF)
-            count_ref[0] = state[0]
+            M = lane_matrix_from(jnp.where(even, slab0[...], slab1[...]))
 
-        if ablate == "decode":
-            _ablate_out(M)
-            return
+            def _ablate_out(x):
+                # bench-only: checksum a stage's result and stop (prevents DCE)
+                state[0] = jnp.sum(pltpu.bitcast(x, jnp.int32) & 0xFF)
 
-        base = g * BC  # first window/kmer of this block (int32)
-        tab = [tab_ref[i] for i in range(4)]
-        mulc = mul_ref[0]
+            if ablate == "decode":
+                _ablate_out(M)
+                return
 
-        # ---- hashes for C + w - 1 kmers per row ----
-        nkc = C + w - 1
-        h = _hash_windows(M, hasher_kind, canonical, rot_offset, k, tab, mulc, nkc)
-        if ablate == "hash":
-            _ablate_out(h)
-            return
-        hv = h & TOP16
-        j = jax.lax.broadcasted_iota(I32, (RB, nkc), 1)
-        r = jax.lax.broadcasted_iota(I32, (RB, nkc), 0)
-        if batched:
-            # q reads per lane row; nw_ref holds per-slot char lengths
-            off = U32(0)
-            jm = j & I32(stride - 1)  # position within the read's slot
-            lenK = jnp.zeros((RB, nkc), I32)
-            if q == 1:
-                for rr in range(RB):
-                    lenK = jnp.where(r == rr, nw_ref[g * RB + rr], lenK)
-            else:
-                slot = j // I32(stride)
-                for rr in range(RB):
-                    for ss in range(q):
-                        lenK = jnp.where(
-                            (r == rr) & (slot == ss),
-                            nw_ref[(g * RB + rr) * q + ss], lenK)
-            hv = jnp.where(jm < lenK - I32(k - 1), hv, INVALID)
-        else:
-            nw = nw_ref[0]  # windows in this call (int32)
+            base = g * BC  # first window/kmer of this block (int32)
+            tab = [tab_ref[i] for i in range(4)]
+            mulc = mul_ref[0]
+
+            # ---- hashes for C + w - 1 kmers per row ----
+            nkc = C + w - 1
+            h = _hash_windows(M, hasher_kind, canonical, rot_offset, k, tab, mulc, nkc)
+            if ablate == "hash":
+                _ablate_out(h)
+                return
+            hv = h & TOP16
+            j = jax.lax.broadcasted_iota(I32, (RB, nkc), 1)
+            r = jax.lax.broadcasted_iota(I32, (RB, nkc), 0)
             off = nw_ref[1].astype(U32)  # global char offset (u32 bits)
-            nk = nw + I32(w - 1)  # kmers
+            nk = nw_total + I32(w - 1)  # kmers
             kidx = base + r * C + j  # call-local kmer index
             hv = jnp.where(kidx < nk, hv, INVALID)
-        # ---- sliding window minima ----
-        # The reference's 16-bit position-packing trick
-        # (src/sliding_min.rs:104-106), wrap-free here because the packed
-        # index is the block-local kmer COLUMN (< C + w - 1 < 2^16): a
-        # single-plane u32 min realizes the exact (top16-hash, leftmost)
-        # order; for the rightmost arm the column is complemented. Invalid
-        # kmers carry hv = 0xFFFFFFFF, which already dominates both
-        # encodings (|j keeps it max).
-        ju = j.astype(U32)
-        elemL = hv | ju
-        lcol = _win_min1(elemL, w)[:, :C] & U32(0xFFFF)
-        rw_c = jax.lax.broadcasted_iota(I32, (RB, C), 0)
-        rowbase = (base + rw_c * C).astype(U32) + off  # (RB, C) global row starts
-        lpos = rowbase + lcol
-        if canonical:
-            elemR = hv | (U32(0xFFFF) - ju)
-            rcol = U32(0xFFFF) - (_win_min1(elemR, w)[:, :C] & U32(0xFFFF))
-            rpos = rowbase + rcol
-            tg = ((M >> U32(1)) & U32(1)).astype(I32)
-            cnt = _win_fold(tg, l, jnp.add, None)[:, :C]
-            sel = jnp.where(2 * cnt > l, lpos, rpos)
-        else:
-            sel = lpos
-
-        if skip_ambiguous:
-            A = lane_matrix_from(amb_slab[...]).astype(I32)
-            acnt = _win_fold(A, l, jnp.add, None)[:, :C]
-            sel = jnp.where(acnt > 0, SKIPPED, sel)
-
-        # ---- validity + seam-aware keep mask ----
-        jw = jax.lax.broadcasted_iota(I32, (RB, C), 1)
-        rw = jax.lax.broadcasted_iota(I32, (RB, C), 0)
-        widx = base + rw * C + jw
-        if batched:
-            jwm = jw & I32(stride - 1)
-            lenW = jnp.zeros((RB, C), I32)
-            if q == 1:
-                for rr in range(RB):
-                    lenW = jnp.where(rw == rr, nw_ref[g * RB + rr], lenW)
+            # ---- sliding window minima ----
+            # The reference's 16-bit position-packing trick
+            # (src/sliding_min.rs:104-106), wrap-free here because the packed
+            # index is the block-local kmer COLUMN (< C + w - 1 < 2^16): a
+            # single-plane u32 min realizes the exact (top16-hash, leftmost)
+            # order; for the rightmost arm the column is complemented. Invalid
+            # kmers carry hv = 0xFFFFFFFF, which already dominates both
+            # encodings (|j keeps it max).
+            ju = j.astype(U32)
+            elemL = hv | ju
+            lcol = _win_min1(elemL, w)[:, :C] & U32(0xFFFF)
+            rw_c = jax.lax.broadcasted_iota(I32, (RB, C), 0)
+            rowbase = (base + rw_c * C).astype(U32) + off  # (RB, C) global row starts
+            lpos = rowbase + lcol
+            if canonical:
+                elemR = hv | (U32(0xFFFF) - ju)
+                rcol = U32(0xFFFF) - (_win_min1(elemR, w)[:, :C] & U32(0xFFFF))
+                rpos = rowbase + rcol
+                tg = ((M >> U32(1)) & U32(1)).astype(I32)
+                cnt = _win_fold(tg, l, jnp.add, None)[:, :C]
+                sel = jnp.where(2 * cnt > l, lpos, rpos)
             else:
-                slotw = jw // I32(stride)
-                for rr in range(RB):
-                    for ss in range(q):
-                        lenW = jnp.where(
-                            (rw == rr) & (slotw == ss),
-                            nw_ref[(g * RB + rr) * q + ss], lenW)
-            valid = jwm < lenW - I32(l - 1)
-        else:
-            valid = widx < nw
-        sel = jnp.where(valid, sel, INVALID)
-        gw = widx.astype(U32) + off
+                sel = lpos
 
-        if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
-            if mode == MODE_OPEN_SYNCMERS:
-                is_sync = sel == gw + U32(w // 2)
+            if skip_ambiguous:
+                A = lane_matrix_from(amb_slab[...]).astype(I32)
+                if not packed_in:
+                    A = A & 1
+                acnt = _win_fold(A, l, jnp.add, None)[:, :C]
+                sel = jnp.where(acnt > 0, SKIPPED, sel)
+
+            # ---- validity + seam-aware keep mask ----
+            jw = jax.lax.broadcasted_iota(I32, (RB, C), 1)
+            rw = jax.lax.broadcasted_iota(I32, (RB, C), 0)
+            widx = base + rw * C + jw
+            valid = widx < nw_total
+            sel = jnp.where(valid, sel, INVALID)
+            gw = widx.astype(U32) + off
+
+            if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
+                if mode == MODE_OPEN_SYNCMERS:
+                    is_sync = sel == gw + U32(w // 2)
+                else:
+                    is_sync = (sel == gw) | (sel == gw + U32(w - 1))
+                keep = valid & is_sync & (sel != SKIPPED)
+                vals0 = gw
             else:
-                is_sync = (sel == gw) | (sel == gw + U32(w - 1))
-            keep = valid & is_sync & (sel != SKIPPED)
-            vals0 = gw
-        else:
-            # prev in flat order: (r, j) <- (r, j-1); (r, 0) <- (r-1, C-1);
-            # (0, 0) <- the seam carried in SMEM. Built from two wrapping
-            # rolls + selects (skinny concats don't lower on Mosaic).
-            rolled = pltpu.roll(sel, 1, axis=1)  # (r,0) <- sel[r, C-1]
-            if batched:
-                # slots are independent reads: no cross-read dedup chaining
-                prev = jnp.where((jw & I32(stride - 1)) == 0, INVALID, rolled)
-            else:
+                # prev in flat order: (r, j) <- (r, j-1); (r, 0) <- (r-1, C-1);
+                # (0, 0) <- the seam carried in SMEM. Built from two wrapping
+                # rolls + selects (skinny concats don't lower on Mosaic).
+                rolled = pltpu.roll(sel, 1, axis=1)  # (r,0) <- sel[r, C-1]
                 colfix = pltpu.roll(rolled, 1, axis=0)  # (r,0) <- sel[r-1, C-1]
                 seam_u = state[1].astype(U32)  # i32 bits -> u32 scalar
                 prev = jnp.where(jw == 0, colfix, rolled)
                 prev = jnp.where((jw == 0) & (rw == 0), seam_u, prev)
-            keep = valid & (sel != prev)
-            if skip_ambiguous:
-                keep = keep & (sel != SKIPPED)
-            vals0 = sel
+                keep = valid & (sel != prev)
+                if skip_ambiguous:
+                    keep = keep & (sel != SKIPPED)
+                vals0 = sel
 
-        # ---- compact: prepend the carried tail as row 0, rank, butterfly ----
-        # Row 0 holds the rem not-yet-tile-aligned output elements; with
-        # keep=1 they get rank 1..rem and shift 0, so the generic butterfly
-        # re-packs them at the front and the whole result lands at W.
-        jt = jax.lax.broadcasted_iota(I32, (1, C), 1)
-        keep_t = jt < rem
-        # concat i32, not bool: i1 vectors don't concatenate on Mosaic
-        keep_all = jnp.concatenate([keep_t.astype(I32), keep.astype(I32)], axis=0) != 0
-        if ablate == "sel":
-            _ablate_out(jnp.where(keep, vals0, INVALID))
-            return
-        rank = _flat_cumsum(keep_all.astype(I32), RB + 1, C)
-        total_new = W + jnp.max(rank)  # rank is non-decreasing in flat order
-        jf = jax.lax.broadcasted_iota(I32, (RB + 1, C), 1)
-        rf = jax.lax.broadcasted_iota(I32, (RB + 1, C), 0)
-        flat_i = rf * C + jf
-        shift = jnp.where(keep_all, flat_i - (rank - 1), 0)
+            # ---- compact: prepend carried tail as row 0, rank, butterfly ----
+            # Row 0 holds the rem not-yet-tile-aligned output elements; with
+            # keep=1 they get rank 1..rem and shift 0, so the generic butterfly
+            # re-packs them at the front and the whole result lands at W.
+            jt = jax.lax.broadcasted_iota(I32, (1, C), 1)
+            keep_t = jt < rem
+            # concat i32, not bool: i1 vectors don't concatenate on Mosaic
+            keep_all = jnp.concatenate([keep_t.astype(I32), keep.astype(I32)], axis=0) != 0
+            if ablate == "sel":
+                _ablate_out(jnp.where(keep, vals0, INVALID))
+                return
+            rank = _flat_cumsum(keep_all.astype(I32), RB + 1, C)
+            total_new = W + jnp.max(rank)  # rank is non-decreasing in flat order
+            jf = jax.lax.broadcasted_iota(I32, (RB + 1, C), 1)
+            rf = jax.lax.broadcasted_iota(I32, (RB + 1, C), 0)
+            flat_i = rf * C + jf
+            shift = jnp.where(keep_all, flat_i - (rank - 1), 0)
 
-        def plane(tail, vals):
-            trow = tail[:].reshape(1, TAIL)
-            if C > TAIL:
-                trow = jnp.concatenate(
-                    [trow, jnp.full((1, C - TAIL), INVALID, U32)], axis=1
-                )
-            full = jnp.concatenate([trow, vals], axis=0)
-            return jnp.where(keep_all, full, INVALID)
+            def plane(tail, vals):
+                trow = tail[:].reshape(1, TAIL)
+                if C > TAIL:
+                    trow = jnp.concatenate(
+                        [trow, jnp.full((1, C - TAIL), INVALID, U32)], axis=1
+                    )
+                full = jnp.concatenate([trow, vals], axis=0)
+                return jnp.where(keep_all, full, INVALID)
 
-        planes = [plane(tailbuf, vals0)]
-        if emit_idx:
-            planes.append(plane(tailbuf2, gw))
-        packed = _butterfly(planes, shift, C)
+            planes = [plane(tailbuf, vals0)]
+            if emit_idx:
+                planes.append(plane(tailbuf2, gw))
+            packed = _butterfly(planes, shift, C)
 
-        # ---- aligned append: write the full packed block at W ----
-        if emit_idx:
-            # serial path: the HBM tail re-read above requires completed writes
-            outbuf[:] = packed[0].reshape(BCP)
-            od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
-            od.start()
-            idxbuf[:] = packed[1].reshape(BCP)
-            od2 = pltpu.make_async_copy(idxbuf, idx_hbm.at[pl.ds(W, BCP)], sem2)
-            od2.start()
-            od2.wait()
-            od.wait()
-        else:
-            # pipelined path: the new tail is extracted IN VMEM from the
-            # just-packed block (out[W'..W'+1024) lies inside [W, W+BCP),
-            # at a TAIL-aligned offset), so this block's write only has to
-            # complete before the NEXT block's write starts (overlapping
-            # regions: g's INVALID tail is overwritten by g+1). The wait
-            # for write g-1 therefore lands after block g's compute.
-            @pl.when(g > 0)  # g-1's write still reads outbuf: wait before reuse
-            def _():
-                pltpu.make_async_copy(
-                    outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
+            # ---- aligned append: write the full packed block at W ----
+            if emit_idx:
+                # serial path: the HBM tail re-read above needs completed writes
+                outbuf[:] = packed[0].reshape(BCP)
+                od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
+                od.start()
+                idxbuf[:] = packed[1].reshape(BCP)
+                od2 = pltpu.make_async_copy(idxbuf, idx_hbm.at[pl.ds(W, BCP)], sem2)
+                od2.start()
+                od2.wait()
+                od.wait()
+            else:
+                # pipelined path: the new tail is extracted IN VMEM from the
+                # just-packed block (out[W'..W'+1024) lies inside [W, W+BCP),
+                # at a TAIL-aligned offset), so this block's write only has to
+                # complete before the NEXT block's write starts (overlapping
+                # regions: g's INVALID tail is overwritten by g+1). The wait
+                # for write g-1 therefore lands after block g's compute.
+                @pl.when(g > 0)  # g-1's write still reads outbuf: wait first
+                def _():
+                    pltpu.make_async_copy(
+                        outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
 
-            outbuf[:] = packed[0].reshape(BCP)
-            W_next = (total_new // TAIL) * TAIL
-            # new tail = packed flat [delta, delta+TAIL), delta TAIL-aligned;
-            # dynamic VMEM reads/DMA don't lower, so select among the static
-            # TAIL-aligned candidate slots (BCP/TAIL of them).
-            slot_idx = (W_next - W) // TAIL
-            acc = jnp.zeros((1, TAIL), U32)
-            for cslot in range(BCP // TAIL):
-                rr, col = divmod(cslot * TAIL, C)
-                cand = packed[0][rr : rr + 1, col : col + TAIL]
-                acc = jnp.where(slot_idx == cslot, cand, acc)
-            tailbuf[:] = acc.reshape(TAIL)
-            od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
-            od.start()
+                outbuf[:] = packed[0].reshape(BCP)
+                W_next = (total_new // TAIL) * TAIL
+                # new tail = packed flat [delta, delta+TAIL), delta TAIL-
+                # aligned; dynamic VMEM reads/DMA don't lower, so select among
+                # the static TAIL-aligned candidate slots (BCP/TAIL of them).
+                slot_idx = (W_next - W) // TAIL
+                acc = jnp.zeros((1, TAIL), U32)
+                for cslot in range(BCP // TAIL):
+                    rr, col = divmod(cslot * TAIL, C)
+                    cand = packed[0][rr : rr + 1, col : col + TAIL]
+                    acc = jnp.where(slot_idx == cslot, cand, acc)
+                tailbuf[:] = acc.reshape(TAIL)
+                od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
+                od.start()
 
-            @pl.when(g == G - 1)
-            def _():
-                pltpu.make_async_copy(
-                    outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
+                @pl.when(g == G - 1)  # dead blocks otherwise absorb this wait
+                def _():
+                    pltpu.make_async_copy(
+                        outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
 
-        state[0] = total_new
-        # seam for the next block: sel of this block's last window slot
-        # (one-hot sum; u32 reductions don't lower, so reduce the i32 bits)
-        sel_bits = pltpu.bitcast(sel, jnp.int32)
-        state[1] = jnp.sum(
-            jnp.where((rw == RB - 1) & (jw == C - 1), sel_bits, 0)
-        )
-        count_ref[0] = total_new
+            state[0] = total_new
+            # seam for the next block: sel of this block's last window slot
+            # (one-hot sum; u32 reductions don't lower: reduce the i32 bits)
+            sel_bits = pltpu.bitcast(sel, jnp.int32)
+            state[1] = jnp.sum(
+                jnp.where((rw == RB - 1) & (jw == C - 1), sel_bits, 0)
+            )
+
+        @pl.when(active)
+        def _():
+            body()
+
+        # count is read by the host after the last block; state[0] holds the
+        # running total (or the ablate checksum) either way.
+        count_ref[0] = state[0]
 
     return kernel, SLAB, BC, SP
 
 
 def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
                    *, k, w, mode, skip_ambiguous, hasher_key, C, G,
-                   interpret=False, batched=False, packed_input=False,
-                   ablate=None, stride=0):
+                   interpret=False, packed_input=False, ablate=None):
     """Raw pallas_call invocation (composable inside shard_map/jit)."""
     kind, canonical, rot_offset = hasher_key
     l = k + w - 1
     PADH = max(128, -(-(l - 1) // 128) * 128)
     kernel, SLAB, BC, SP = _make_kernel(
         k, w, mode, skip_ambiguous, kind, canonical, rot_offset, C, G, PADH,
-        batched=batched, packed_in=packed_input, ablate=ablate, stride=stride,
+        packed_in=packed_input, ablate=ablate,
     )
     BCP = (RB + 1) * C
     cap = G * BC + BCP + TAIL
-    emit_idx = mode == MODE_SUPERKMERS or (batched and mode == MODE_MINIMIZERS)
-    # batched short-read packing: q reads per lane row at a pow2 stride
-    stride = stride or C
-    assert C % stride == 0 and (stride & (stride - 1)) == 0
-    q = C // stride
+    emit_idx = mode == MODE_SUPERKMERS
     out_shapes = (
         jax.ShapeDtypeStruct((cap,), jnp.uint32),
         jax.ShapeDtypeStruct((cap if emit_idx else TAIL,), jnp.uint32),
@@ -604,12 +580,12 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
         num_scalar_prefetch=3,  # nw, table, mul_const
         grid=(G,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # codes (G+1, BC)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # ambiguous (G+1, BC)
+            pl.BlockSpec(memory_space=pl.ANY),  # codes (G+1, BC)
+            pl.BlockSpec(memory_space=pl.ANY),  # ambiguous (G+1, BC)
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),  # out positions
-            pl.BlockSpec(memory_space=pltpu.ANY),  # superkmer idx
+            pl.BlockSpec(memory_space=pl.ANY),  # out positions
+            pl.BlockSpec(memory_space=pl.ANY),  # superkmer idx
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count
         ),
         scratch_shapes=[
@@ -644,7 +620,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
 _fused_call = jax.jit(
     _invoke_pallas,
     static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
-                     "interpret", "batched", "packed_input", "ablate", "stride"),
+                     "interpret", "packed_input", "ablate"),
 )
 
 
@@ -719,117 +695,6 @@ def fused_sketch(
         # slice on device first: only cnt elements cross host<->device
         return np.asarray(out[:max(cnt, 1)][:cnt]), np.asarray(idx[:max(cnt, 1)][:cnt])
     return np.asarray(out[:max(cnt, 1)][:cnt])
-
-
-def batch_sketch(
-    reads: list[np.ndarray],
-    k: int,
-    w: int,
-    hasher: KmerHasher,
-    mode: str = MODE_MINIMIZERS,
-    ambiguous: list[np.ndarray] | None = None,
-    C: int = DEF_C,
-    interpret: bool = False,
-    G: int | None = None,
-    stride: int | None = None,
-):
-    """Sketch a batch of reads in one kernel launch.
-
-    The TPU-native answer to the reference's short-sequence workload
-    (/root/reference/bench/src/bin/paper.rs:61-115): instead of paying the
-    streaming warm-up per read, reads are packed densely into the lane
-    matrix — each lane row holds C/stride reads at a power-of-two stride
-    (auto-chosen from the longest read), so short Illumina-style reads
-    don't waste row capacity. Reads must satisfy len <= C.
-
-    Returns (read_ids, positions) with positions local to each read, or
-    (read_ids, positions, window_indices) for super-k-mers; syncmer modes
-    return (read_ids, window_positions). Results are ordered by read.
-    """
-    from .. import native
-
-    # per-slot lengths ride SMEM scalar prefetch (1MB): split huge batches
-    B_total = reads.shape[0] if isinstance(reads, np.ndarray) and reads.ndim == 2 else len(reads)
-    if B_total > MAX_BATCH_READS:
-        parts = []
-        for s0 in range(0, B_total, MAX_BATCH_READS):
-            sub = reads[s0 : s0 + MAX_BATCH_READS]
-            asub = ambiguous[s0 : s0 + MAX_BATCH_READS] if ambiguous is not None else None
-            parts.append((s0, batch_sketch(sub, k, w, hasher, mode=mode,
-                                           ambiguous=asub, C=C,
-                                           interpret=interpret, G=G,
-                                           stride=stride)))
-        outs = [np.concatenate([p[i] for _, p in parts]) for i in range(len(parts[0][1]))]
-        rid = np.concatenate([p[0] + np.uint32(s0) for s0, p in parts])
-        return (rid, *outs[1:])
-
-    l = k + w - 1
-    if mode == MODE_OPEN_SYNCMERS:
-        assert w % 2 == 1, "open syncmers require odd w"
-    if hasher.canonical:
-        assert l % 2 == 1, f"window length l={l} must be odd to determine strand"
-    BC = RB * C
-    skip_ambiguous = ambiguous is not None
-    is_matrix = isinstance(reads, np.ndarray) and reads.ndim == 2
-    max_len = int(reads.shape[1]) if is_matrix else max((len(r) for r in reads), default=0)
-    assert max_len <= C, f"batched reads must have len <= {C}"
-    if is_matrix:
-        assert reads.size == 0 or int(reads.max()) <= 3, \
-            "batch_sketch ships 2-bit codes; general text goes via backend.sketch_batch"
-    else:
-        assert all(len(r) == 0 or int(np.max(r)) <= 3 for r in reads), \
-            "batch_sketch ships 2-bit codes; general text goes via backend.sketch_batch"
-    if stride is None:
-        stride = max(1 << max(max_len - 1, 0).bit_length(), 128)
-        stride = min(stride, C)
-    assert C % stride == 0 and (stride & (stride - 1)) == 0
-    q = C // stride  # reads per lane row
-    slots_per_block = RB * q
-    G = max(G or 1, -(-max(B_total, 1) // slots_per_block))
-    nslots = G * slots_per_block
-    buf = np.zeros((nslots, stride), np.uint8)
-    lens = np.zeros(nslots, np.int32)
-    if is_matrix:
-        B, L = reads.shape
-        buf[:B, :L] = reads
-        lens[:B] = L
-    else:
-        for i, rd in enumerate(reads):
-            buf[i, : len(rd)] = rd
-            lens[i] = len(rd)
-    codes = np.concatenate([buf.reshape(-1), np.zeros(TAIL, np.uint8)])
-    if skip_ambiguous:
-        abuf = np.zeros((nslots, stride), np.uint8)
-        if is_matrix:
-            abuf[:B, :L] = ambiguous
-        else:
-            for i, am in enumerate(ambiguous):
-                abuf[i, : len(am)] = am
-        amb = np.concatenate([abuf.reshape(-1), np.zeros(TAIL, np.uint8)])
-    _, SLABW, SLABW_PAD = striped_geometry(C)
-    packed = native.pack_2bit_striped(codes, G, BC, SLABW, SLABW_PAD)
-    amb_packed = (
-        native.pack_2bit_striped(amb, G, BC, SLABW, SLABW_PAD)
-        if skip_ambiguous else np.zeros(TAIL, np.uint32)
-    )
-    key, table, mul_const = hasher_jit_args(hasher)
-    out, idx, count = _fused_call(
-        jnp.asarray(packed), jnp.asarray(amb_packed), jnp.asarray(lens),
-        jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
-        k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
-        C=C, G=G, interpret=interpret, batched=True, packed_input=True,
-        stride=stride,
-    )
-    cnt = int(count[0])
-    out = np.asarray(out[:max(cnt, 1)][:cnt])
-    if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
-        return (out // stride).astype(np.uint32), (out % stride).astype(np.uint32)
-    idx = np.asarray(idx[:max(cnt, 1)][:cnt])
-    read_ids = (idx // stride).astype(np.uint32)
-    local = out - read_ids * np.uint32(stride)
-    if mode == MODE_SUPERKMERS:
-        return read_ids, local, (idx % stride).astype(np.uint32)
-    return read_ids, local
 
 
 def sketch_long(

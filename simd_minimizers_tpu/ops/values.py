@@ -1,8 +1,15 @@
 """Vectorized kmer-value extraction (the `Output::values_*` equivalents).
 
 Value convention pinned by the reference doc-test
-(/root/reference/src/lib.rs:117-129): first base in the lowest 2 bits.
-Canonical values are min(fwd, revcomp) (/root/reference/src/lib.rs:598-612).
+(/root/reference/src/lib.rs:117-129): first base in the lowest bits, 2 bits
+per char for DNA. General ASCII text (`&[u8]`) packs 8 bits per char.
+Canonical values are min(fwd, revcomp) (/root/reference/src/lib.rs:598-612);
+the complement of a code is ``c ^ 2`` (in the 2-bit space for DNA; applied
+to the raw byte for general text, consistently with canonical hashing).
+
+At sketch scale (5e8+ minimizers on a single host core) everything here
+stays in vectorized NumPy; u128 values are materialized as (lo, hi) u64
+limb arrays, with Python-int lists only built on explicit request.
 """
 
 from __future__ import annotations
@@ -15,56 +22,85 @@ def _gather_windows(codes: np.ndarray, positions: np.ndarray, length: int) -> np
     return codes[idx]  # (m, length) uint8
 
 
-def kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int) -> np.ndarray:
-    """uint64 packed values of length-`length` kmers at `positions` (length <= 32)."""
-    assert length <= 32, "values_u64 requires kmer length <= 32"
+def _pack_u64(win: np.ndarray, bits: int) -> np.ndarray:
+    """Pack (m, length) chars into u64, char i at bits ``bits*i``."""
+    length = win.shape[1]
+    shifts = (bits * np.arange(length, dtype=np.uint64))[None, :]
+    return (win.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int,
+                    bits: int = 2) -> np.ndarray:
+    """uint64 packed values of length-`length` kmers at `positions`."""
+    assert bits * length <= 64, f"values_u64 requires {bits}*length <= 64"
     if positions.size == 0:
         return np.zeros(0, dtype=np.uint64)
-    win = _gather_windows(codes, positions, length).astype(np.uint64)
-    shifts = (2 * np.arange(length, dtype=np.uint64))[None, :]
-    return (win << shifts).sum(axis=1, dtype=np.uint64)
+    return _pack_u64(_gather_windows(codes, positions, length), bits)
 
 
-def revcomp_kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int) -> np.ndarray:
-    assert length <= 32
+def revcomp_kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int,
+                            bits: int = 2) -> np.ndarray:
+    assert bits * length <= 64
     if positions.size == 0:
         return np.zeros(0, dtype=np.uint64)
     win = _gather_windows(codes, positions, length)
-    win = (win ^ np.uint8(2))[:, ::-1].astype(np.uint64)
-    shifts = (2 * np.arange(length, dtype=np.uint64))[None, :]
-    return (win << shifts).sum(axis=1, dtype=np.uint64)
+    return _pack_u64((win ^ np.uint8(2))[:, ::-1], bits)
 
 
-def canonical_kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int) -> np.ndarray:
+def canonical_kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int,
+                              bits: int = 2) -> np.ndarray:
     return np.minimum(
-        kmer_values_u64(codes, positions, length),
-        revcomp_kmer_values_u64(codes, positions, length),
+        kmer_values_u64(codes, positions, length, bits),
+        revcomp_kmer_values_u64(codes, positions, length, bits),
     )
 
 
-def _values_u128_int(codes: np.ndarray, positions: np.ndarray, length: int, revcomp: bool) -> list[int]:
-    """Arbitrary-width packed values as Python ints (covers u128, length <= 64)."""
-    assert length <= 64, "values_u128 requires kmer length <= 64"
+def _limbs(codes: np.ndarray, positions: np.ndarray, length: int,
+           revcomp: bool, bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """(lo, hi) u64 limb arrays of packed kmer values (bits*length <= 128)."""
+    assert bits * length <= 128, f"values_u128 requires {bits}*length <= 128"
     if positions.size == 0:
-        return []
+        return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
     win = _gather_windows(codes, positions, length)
     if revcomp:
         win = (win ^ np.uint8(2))[:, ::-1]
-    lo_len = min(length, 32)
-    lo = (win[:, :lo_len].astype(np.uint64) << (2 * np.arange(lo_len, dtype=np.uint64))[None, :]).sum(axis=1, dtype=np.uint64)
-    if length > 32:
-        hi_len = length - 32
-        hi = (win[:, 32:].astype(np.uint64) << (2 * np.arange(hi_len, dtype=np.uint64))[None, :]).sum(axis=1, dtype=np.uint64)
+    lo_len = min(length, 64 // bits)
+    lo = _pack_u64(win[:, :lo_len], bits)
+    if length > lo_len:
+        hi = _pack_u64(win[:, lo_len:], bits)
     else:
         hi = np.zeros_like(lo)
-    return [(int(h) << 64) | int(l) for h, l in zip(hi, lo)]
+    return lo, hi
 
 
-def kmer_values_u128(codes: np.ndarray, positions: np.ndarray, length: int) -> list[int]:
-    return _values_u128_int(codes, positions, length, revcomp=False)
+def kmer_values_u128_limbs(codes: np.ndarray, positions: np.ndarray, length: int,
+                           bits: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (lo, hi) u64 limbs — the scalable form of values_u128."""
+    return _limbs(codes, positions, length, revcomp=False, bits=bits)
 
 
-def canonical_kmer_values_u128(codes: np.ndarray, positions: np.ndarray, length: int) -> list[int]:
-    fwd = _values_u128_int(codes, positions, length, revcomp=False)
-    rc = _values_u128_int(codes, positions, length, revcomp=True)
-    return [min(a, b) for a, b in zip(fwd, rc)]
+def canonical_kmer_values_u128_limbs(
+    codes: np.ndarray, positions: np.ndarray, length: int, bits: int = 2
+) -> tuple[np.ndarray, np.ndarray]:
+    flo, fhi = _limbs(codes, positions, length, revcomp=False, bits=bits)
+    rlo, rhi = _limbs(codes, positions, length, revcomp=True, bits=bits)
+    # lexicographic (hi, lo) min, fully vectorized
+    take_r = (rhi < fhi) | ((rhi == fhi) & (rlo < flo))
+    return np.where(take_r, rlo, flo), np.where(take_r, rhi, fhi)
+
+
+def _limbs_to_ints(lo: np.ndarray, hi: np.ndarray) -> list[int]:
+    # object-array arithmetic: elementwise in C, no Python-level loop
+    return ((hi.astype(object) << 64) | lo.astype(object)).tolist()
+
+
+def kmer_values_u128(codes: np.ndarray, positions: np.ndarray, length: int,
+                     bits: int = 2) -> list[int]:
+    return _limbs_to_ints(*kmer_values_u128_limbs(codes, positions, length, bits))
+
+
+def canonical_kmer_values_u128(codes: np.ndarray, positions: np.ndarray, length: int,
+                               bits: int = 2) -> list[int]:
+    return _limbs_to_ints(
+        *canonical_kmer_values_u128_limbs(codes, positions, length, bits)
+    )

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..hashers import KmerHasher
 from ..ops import pipeline
@@ -103,7 +103,7 @@ def _jit_sharded(codes, n_loc, offsets, ambiguous, table, mul_const,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )(codes, n_loc, offsets, ambiguous, table, mul_const)
 
 
@@ -199,7 +199,7 @@ def _jit_fused_sharded(words, nws, table, mul_const,
         mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
-        check_rep=False,
+        check_vma=False,
     )(words, nws, table, mul_const)
 
 

@@ -59,6 +59,7 @@ class PackedSeq:
     """
 
     is_packed = True
+    char_bits = 2
 
     def __init__(self, data: np.ndarray, offset: int = 0, length: int | None = None):
         assert data.dtype == np.uint8
@@ -142,6 +143,7 @@ class AsciiSeq:
     """DNA given as ACGT ASCII bytes (the `AsciiSeq` equivalent)."""
 
     is_packed = False
+    char_bits = 2
 
     def __init__(self, seq: bytes | np.ndarray):
         if isinstance(seq, (bytes, bytearray)):
@@ -181,9 +183,16 @@ AsciiSeqVec = AsciiSeq  # owned and view types coincide in Python
 
 
 class GenericSeq:
-    """General ASCII text (`&[u8]` in the reference): codes are raw bytes."""
+    """General ASCII text (`&[u8]` in the reference): codes are raw bytes.
+
+    Hashers fold chars into their scheme's space themselves (NtHasher
+    masks with &3; MulHasher uses the raw byte). K-mer values pack 8 bits
+    per char; the "complement" of a text char is `c ^ 2`, consistent with
+    how canonical hashing treats raw codes across all tiers.
+    """
 
     is_packed = False
+    char_bits = 8
 
     def __init__(self, seq: bytes | np.ndarray):
         if isinstance(seq, (bytes, bytearray)):
@@ -203,6 +212,13 @@ class GenericSeq:
         # 8 bits per character for general text.
         v = 0
         for i, c in enumerate(self.seq[pos : pos + length].tolist()):
+            v |= int(c) << (8 * i)
+        return v
+
+    def read_revcomp_kmer(self, length: int, pos: int) -> int:
+        km = (self.seq[pos : pos + length] ^ np.uint8(2))[::-1]
+        v = 0
+        for i, c in enumerate(km.tolist()):
             v |= int(c) << (8 * i)
         return v
 
@@ -235,14 +251,24 @@ class PackedNSeqVec:
 def as_seq(seq) -> "PackedSeq | AsciiSeq | GenericSeq":
     """Coerce user input into a sequence object.
 
-    bytes/str are treated as general ASCII text if they contain non-ACGT
-    characters, otherwise as DNA (matching the reference's convention where
-    `&[u8]` is general text but doc examples pass ACGT literals).
+    Plain bytes/str of pure ACGT/acgt are treated as ASCII DNA; any other
+    byte content is general ASCII text (`&[u8]` in the reference,
+    /root/reference/src/lib.rs:57-72), whose "codes" are the raw byte
+    values (MulHasher recommended). Wrap in `AsciiSeq` explicitly to force
+    DNA folding of arbitrary bytes, or in `GenericSeq` to force text
+    semantics for ACGT-only content.
     """
     if isinstance(seq, (PackedSeq, AsciiSeq, GenericSeq, PackedNSeqVec)):
         return seq
     if isinstance(seq, str):
         seq = seq.encode()
     if isinstance(seq, (bytes, bytearray, np.ndarray)):
-        return AsciiSeq(seq)
+        arr = (
+            np.frombuffer(bytes(seq), dtype=np.uint8)
+            if isinstance(seq, (bytes, bytearray))
+            else np.asarray(seq, dtype=np.uint8)
+        )
+        if bool(_IS_ACGT[arr].all()):
+            return AsciiSeq(arr)
+        return GenericSeq(arr)
     raise TypeError(f"unsupported sequence type: {type(seq)}")

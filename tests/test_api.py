@@ -111,3 +111,82 @@ def test_baseline_config_superkmers_mulhasher_values():
         for i, c in enumerate(codes[p : p + k]):
             want |= int(c) << (2 * i)
         assert int(v) == want
+
+
+def test_generic_text_public_api():
+    """Plain non-ACGT bytes are general ASCII text (`&[u8]`,
+    /root/reference/src/lib.rs:57-72): positions match the oracle run on
+    the raw byte values, values pack 8 bits per char."""
+    from simd_minimizers_tpu.hashers import MulHasher, NtHasher
+    from simd_minimizers_tpu.ops import oracle
+    from simd_minimizers_tpu.seq.packed import GenericSeq, as_seq
+
+    text = bytes(RNG.integers(32, 127, 400, dtype=np.uint8))
+    raw = np.frombuffer(text, np.uint8)
+    assert isinstance(as_seq(text), GenericSeq)
+    k, w = 7, 5
+    for h in [MulHasher(k), NtHasher(k)]:
+        got = sm.minimizers(k, w).hasher(h).run_once(text)
+        want = oracle.collect_and_dedup(oracle.selected_stream(raw, k, w, h))
+        np.testing.assert_array_equal(got, want)
+    # canonical (l odd) with values
+    k, w = 6, 6
+    h = MulHasher(k, canonical=True)
+    out = sm.canonical_minimizers(k, w).hasher(h).run(text)
+    want = oracle.collect_and_dedup(
+        oracle.selected_stream(raw, k, w, h))
+    np.testing.assert_array_equal(out.positions, want)
+    vals = out.values_u64()
+    gs = GenericSeq(raw)
+    for p, v in zip(out.positions.tolist(), vals.tolist()):
+        assert v == min(gs.read_kmer(k, p), gs.read_revcomp_kmer(k, p))
+    # ACGT-only bytes keep DNA semantics (golden vectors rely on this)
+    assert not isinstance(as_seq(b"ACGTacgt"), GenericSeq)
+
+
+def test_generic_text_values_u128():
+    from simd_minimizers_tpu.hashers import MulHasher
+    from simd_minimizers_tpu.seq.packed import GenericSeq
+
+    text = bytes(RNG.integers(32, 127, 300, dtype=np.uint8))
+    k, w = 12, 4  # 12 chars * 8 bits = 96 > 64: needs the u128 path
+    h = MulHasher(k)
+    out = sm.minimizers(k, w).hasher(h).run(text)
+    with pytest.raises(AssertionError):
+        out.values_u64()
+    vals = out.values_u128()
+    gs = GenericSeq(np.frombuffer(text, np.uint8))
+    for p, v in zip(out.positions.tolist(), vals):
+        assert v == gs.read_kmer(k, p)
+
+
+def test_values_u128_limbs_match_ints():
+    seq = PackedSeqVec.random(500, RNG)
+    k, w = 48, 6  # l = 53, odd
+    out = sm.canonical_minimizers(k, w).run(seq)
+    lo, hi = out.values_u128_limbs()
+    ints = out.values_u128()
+    assert lo.dtype == hi.dtype == np.uint64
+    for a, b, v in zip(lo.tolist(), hi.tolist(), ints):
+        assert ((b << 64) | a) == v
+
+
+def test_backend_routes_huge_inputs_through_chunked(monkeypatch):
+    """Non-TPU dispatch streams big inputs in fixed-geometry chunks."""
+    from simd_minimizers_tpu.ops import backend, chunked, oracle
+
+    monkeypatch.setattr(backend, "PIPELINE_CHUNK_WINDOWS", 1 << 12)
+    calls = []
+    orig = chunked.sketch
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(chunked, "sketch", spy)
+    codes = RNG.integers(0, 4, 3 * (1 << 12) + 100, dtype=np.uint8)
+    h = sm.NtHasher(21, canonical=True)
+    got = backend.sketch(codes, 21, 11, h)
+    assert calls, "chunked path not taken"
+    want = oracle.collect_and_dedup(oracle.selected_stream(codes, 21, 11, h))
+    np.testing.assert_array_equal(got, want)

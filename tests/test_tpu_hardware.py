@@ -28,7 +28,8 @@ def test_fused_fuzz_on_tpu():
     assert jax.devices()[0].platform == "tpu", "TPU required"
     from simd_minimizers_tpu.hashers import AntiLexHasher, MulHasher, NtHasher
     from simd_minimizers_tpu.ops import oracle, pipeline
-    from simd_minimizers_tpu.ops.fused import batch_sketch, fused_sketch
+    from simd_minimizers_tpu.ops.batch import sketch_batch as batch_sketch
+    from simd_minimizers_tpu.ops.fused import fused_sketch
 
     rng = np.random.default_rng(0xF022)
     configs = [
@@ -69,7 +70,7 @@ def test_fused_fuzz_on_tpu():
     reads = [rng.integers(0, 4, int(m), dtype=np.uint8)
              for m in rng.integers(0, 4096, 40)]
     h = NtHasher(21, canonical=True)
-    rid, pos = batch_sketch(reads, 21, 11, h)
+    rid, pos = batch_sketch(reads, 21, 11, h, backend="fused")
     for i, rd in enumerate(reads):
         want = (oracle.collect_and_dedup(oracle.selected_stream(rd, 21, 11, h))
                 if len(rd) >= 31 else np.zeros(0, np.uint32))
