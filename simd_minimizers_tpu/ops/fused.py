@@ -728,8 +728,10 @@ def sketch_long(
     nw = n - l + 1
     spans = []
     idxs = []
+    starts = []
     s = 0
     while s < nw:
+        starts.append(s)
         e = min(s + span_chars - (l - 1), nw)
         chars_end = min(e - 1 + l, n)
         amb = ambiguous_np[s:chars_end] if ambiguous_np is not None else None
@@ -743,13 +745,10 @@ def sketch_long(
         s = e
     if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
         return np.concatenate(spans)  # window indices never repeat across spans
-    if mode == MODE_SUPERKMERS:
-        pos, sk = [spans[0]], [idxs[0]]
-        for p, i in zip(spans[1:], idxs[1:]):
-            drop = 1 if (pos[-1].size and p.size and p[0] == pos[-1][-1]) else 0
-            pos.append(p[drop:])
-            sk.append(i[drop:])
-        return np.concatenate(pos), np.concatenate(sk)
-    from ..parallel.multihost import merge_shard_positions
+    from ..parallel.multihost import merge_adjacent_shards
 
-    return merge_shard_positions(spans)
+    if mode == MODE_SUPERKMERS:
+        return merge_adjacent_shards(spans, starts, codes_np, k, w, hasher,
+                                     ambiguous_np, aux=idxs)
+    return merge_adjacent_shards(spans, starts, codes_np, k, w, hasher,
+                                 ambiguous_np)

@@ -37,7 +37,14 @@ def shard_bounds(n: int, l: int, num_shards: int, shard_id: int) -> tuple[int, i
 
 
 def merge_shard_positions(shards: list[np.ndarray]) -> np.ndarray:
-    """Concatenate per-shard global position lists, dedup at the seams."""
+    """Concatenate per-shard global position lists, dedup at the seams.
+
+    Exact for plain (non-skip-ambiguous) minimizer streams: a shard's last
+    output value is always the sel of its last window, and the next
+    shard's first output is the sel of its first window, so comparing them
+    is exactly the oracle's adjacent dedup. With SKIPPED sentinels in play
+    use `merge_adjacent_shards`, which evaluates the true seam windows.
+    """
     parts = [s for s in shards if s.size]
     if not parts:
         return np.zeros(0, np.uint32)
@@ -46,6 +53,55 @@ def merge_shard_positions(shards: list[np.ndarray]) -> np.ndarray:
         prev_last = out[-1][-1]
         out.append(nxt[1:] if nxt[0] == prev_last else nxt)
     return np.concatenate(out)
+
+
+def seam_window_sel(codes_np, k, w, hasher, win: int, ambiguous_np=None) -> int:
+    """sel value of ONE global window (host-side, O(l) work)."""
+    from ..ops import oracle
+    from ..utils.bits import SKIPPED
+
+    l = k + w - 1
+    if ambiguous_np is not None and bool(np.any(ambiguous_np[win : win + l])):
+        return int(SKIPPED)
+    sel = oracle.selected_stream(codes_np[win : win + l], k, w, hasher)
+    return int(sel[0]) + win
+
+
+def merge_adjacent_shards(parts, starts, codes_np, k, w, hasher,
+                          ambiguous_np=None, aux=None):
+    """Merge per-shard dedup'd minimizer outputs with EXACT seam semantics.
+
+    Each shard computed windows [starts[i], starts[i+1]) with prev=INVALID
+    at its first window, so its first output must be dropped iff the
+    oracle's adjacent dedup would have dropped window starts[i]: its sel
+    equals the previous (global) window's sel. With skip-ambiguous the
+    last *output* of the previous shard is not necessarily the previous
+    window's sel (trailing SKIPPED runs), so both seam windows are
+    re-evaluated directly (O(l) each). `aux` optionally carries a parallel
+    plane (super-k-mer indices) dropped in lockstep — the first window
+    index of a seam-straddling run is the earlier shard's, matching
+    /root/reference/src/collect.rs:106-110.
+    """
+    from ..utils.bits import SKIPPED
+
+    out = [parts[0]]
+    aux_out = [aux[0]] if aux is not None else None
+    for i in range(1, len(parts)):
+        p = parts[i]
+        drop = 0
+        if p.size:
+            s = int(starts[i])
+            w0 = seam_window_sel(codes_np, k, w, hasher, s, ambiguous_np)
+            if w0 != int(SKIPPED) and int(p[0]) == w0:
+                wprev = seam_window_sel(codes_np, k, w, hasher, s - 1, ambiguous_np)
+                drop = 1 if w0 == wprev else 0
+        out.append(p[drop:])
+        if aux is not None:
+            aux_out.append(aux[i][drop:])
+    pos = np.concatenate(out) if out else np.zeros(0, np.uint32)
+    if aux is not None:
+        return pos, np.concatenate(aux_out)
+    return pos
 
 
 def local_shard_sketch(

@@ -179,14 +179,14 @@ def sharded_sketch(
     static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
                      "mesh", "interpret"),
 )
-def _jit_fused_sharded(words, nws, table, mul_const,
+def _jit_fused_sharded(words, amb_words, nws, table, mul_const,
                        *, k, w, mode, skip_ambiguous, hasher_key, C, G, mesh,
                        interpret):
     from ..ops import fused
 
-    def body(words_loc, nw_loc, table, mul_const):
+    def body(words_loc, amb_loc, nw_loc, table, mul_const):
         out, idx, count = fused._invoke_pallas(
-            words_loc[0], jnp.zeros(fused.TAIL, jnp.uint32), nw_loc[0],
+            words_loc[0], amb_loc[0], nw_loc[0],
             table, mul_const,
             k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous,
             hasher_key=hasher_key, C=C, G=G, interpret=interpret,
@@ -197,10 +197,10 @@ def _jit_fused_sharded(words, nws, table, mul_const,
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(), P()),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS)),
         check_vma=False,
-    )(words, nws, table, mul_const)
+    )(words, amb_words, nws, table, mul_const)
 
 
 def fused_sharded_sketch(
@@ -209,6 +209,7 @@ def fused_sharded_sketch(
     w: int,
     hasher: KmerHasher,
     mode: str = MODE_MINIMIZERS,
+    ambiguous_np: np.ndarray | None = None,
     mesh: Mesh | None = None,
     C: int | None = None,
     interpret: bool = False,
@@ -217,16 +218,18 @@ def fused_sharded_sketch(
 
     Each device owns an equal halo'd span of windows and runs the whole
     fused pipeline locally (BASELINE config 5: per-shard sketches with
-    halo + offset-corrected merge). Returns the bit-exact global position
-    list (host seam-merged). TPU-only for compiled runs; interpret=True
-    runs the same path on a CPU mesh for testing.
+    halo + offset-corrected merge), in every mode the reference supports
+    (/root/reference/src/lib.rs:427-436, :475-482): minimizers,
+    super-k-mers, open/closed syncmers, and skip-ambiguous-windows.
+    Returns the bit-exact global result (host seam-merged): positions, or
+    (positions, superkmer window indices), or syncmer window indices.
+    TPU-only for compiled runs; interpret=True runs the same path on a
+    CPU mesh for testing.
     """
     from ..ops import fused
-    from ..seq import packed as _  # noqa: F401 (keep import graph warm)
     from .. import native
-    from .multihost import merge_shard_positions
+    from .multihost import merge_adjacent_shards
 
-    assert mode == MODE_MINIMIZERS, "fused sharding: positions mode only"
     mesh = mesh or default_mesh()
     ndev = int(mesh.shape[AXIS])
     C = C or fused.DEF_C
@@ -234,7 +237,12 @@ def fused_sharded_sketch(
     n = int(codes_np.shape[0])
     empty = np.zeros(0, dtype=np.uint32)
     if n < l:
-        return empty
+        return (empty, empty) if mode == MODE_SUPERKMERS else empty
+    if mode == MODE_OPEN_SYNCMERS:
+        assert w % 2 == 1, "open syncmers require odd w"
+    if hasher.canonical:
+        assert l % 2 == 1, f"window length l={l} must be odd to determine strand"
+    skip_ambiguous = ambiguous_np is not None
     nw = n - l + 1
     per_dev = -(-nw // ndev)
     BC = fused.RB * C
@@ -242,6 +250,8 @@ def fused_sharded_sketch(
     SLAB, SLABW, SLABW_PAD = fused.striped_geometry(C)
     need = G * BC + fused.TAIL
     words = np.zeros((ndev, G * SLABW_PAD), np.uint32)
+    amb_words = np.zeros(
+        (ndev, G * SLABW_PAD if skip_ambiguous else fused.TAIL), np.uint32)
     nws = np.zeros((ndev, 2), np.int32)
     for d in range(ndev):
         s = d * per_dev
@@ -252,14 +262,28 @@ def fused_sharded_sketch(
         span = np.zeros(need, np.uint8)
         span[: chars_end - s] = codes_np[s:chars_end]
         words[d] = native.pack_2bit_striped(span, G, BC, SLABW, SLABW_PAD)
+        if skip_ambiguous:
+            aspan = np.zeros(need, np.uint8)
+            aspan[: chars_end - s] = ambiguous_np[s:chars_end]
+            amb_words[d] = native.pack_2bit_striped(aspan, G, BC, SLABW, SLABW_PAD)
         nws[d] = (e - s, np.asarray(np.uint32(s)).view(np.int32))
     key, table, mul_const = hasher_jit_args(hasher)
     out, idx, count = _jit_fused_sharded(
-        jnp.asarray(words), jnp.asarray(nws),
+        jnp.asarray(words), jnp.asarray(amb_words), jnp.asarray(nws),
         jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
-        k=k, w=w, mode=mode, skip_ambiguous=False, hasher_key=key,
+        k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
         C=C, G=G, mesh=mesh, interpret=interpret,
     )
     counts = np.asarray(count).reshape(ndev)
     shards = [np.asarray(out[d, : int(counts[d])]) for d in range(ndev)]
-    return merge_shard_positions(shards)
+    if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
+        # syncmer outputs are window indices: each shard owns a disjoint
+        # window range, so no seam dedup is needed
+        return np.concatenate(shards) if shards else empty
+    starts = [d * per_dev for d in range(ndev)]
+    if mode == MODE_SUPERKMERS:
+        idxs = [np.asarray(idx[d, : int(counts[d])]) for d in range(ndev)]
+        return merge_adjacent_shards(shards, starts, codes_np, k, w, hasher,
+                                     ambiguous_np, aux=idxs)
+    return merge_adjacent_shards(shards, starts, codes_np, k, w, hasher,
+                                 ambiguous_np)

@@ -43,3 +43,63 @@ def test_multihost_sketch_single_process():
     got = multihost.multihost_sketch(codes, k, w, h)
     want = oracle.collect_and_dedup(oracle.selected_stream(codes, k, w, h))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["minimizers", "superkmers",
+                                  "closed_syncmers", "open_syncmers",
+                                  "skip_ambiguous"])
+def test_fused_sharded_all_modes_on_mesh(mode):
+    """The fused Pallas kernel under shard_map (8-dev CPU mesh, interpret
+    mode) supports every reference mode (src/lib.rs:427-436, :475-482)."""
+    from simd_minimizers_tpu.parallel import shard
+
+    k, w = 11, 7
+    n = 30000
+    codes = RNG.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=mode in ("minimizers", "superkmers", "skip_ambiguous"))
+    mesh = shard.default_mesh()
+    amb = None
+    kernel_mode = mode
+    if mode == "skip_ambiguous":
+        kernel_mode = "minimizers"
+        amb = (RNG.random(n) < 0.005).astype(np.uint8)
+    got = shard.fused_sharded_sketch(codes, k, w, h, mode=kernel_mode,
+                                     ambiguous_np=amb, mesh=mesh, C=1024,
+                                     interpret=True)
+    sel = oracle.selected_stream(codes, k, w, h, ambiguous=amb)
+    if mode == "superkmers":
+        want = oracle.collect_and_dedup_with_index(sel)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    elif mode.endswith("syncmers"):
+        want = oracle.collect_syncmers(sel, w, mode == "open_syncmers")
+        np.testing.assert_array_equal(got, want)
+    else:
+        want = oracle.collect_and_dedup(sel, skip_sentinel=amb is not None)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_seam_merge_with_trailing_skipped_run():
+    """Shard seams where the earlier side ends in SKIPPED windows: the
+    naive last-output comparison would wrongly dedup; the seam-aware
+    merge must match the oracle exactly."""
+    from simd_minimizers_tpu.ops import pipeline
+    from simd_minimizers_tpu.parallel import shard
+
+    k, w = 5, 7
+    l = k + w - 1
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = 220
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+        amb = np.zeros(n, np.uint8)
+        # ambiguous chars clustered near the 2-shard boundary (window ~105)
+        for p in rng.integers(90, 130, 3):
+            amb[p] = 1
+        h = NtHasher(k, canonical=True)
+        mesh = shard.default_mesh(2)
+        got = shard.fused_sharded_sketch(codes, k, w, h, ambiguous_np=amb,
+                                         mesh=mesh, C=1024, interpret=True)
+        sel = oracle.selected_stream(codes, k, w, h, ambiguous=amb)
+        want = oracle.collect_and_dedup(sel, skip_sentinel=True)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
