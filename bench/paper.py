@@ -147,8 +147,7 @@ def bench_incremental(n, quick=False):
                 if stage == "hash":
                     return acc ^ hh.sum(dtype=jnp.uint32)
                 hv = hh & P.TOP16
-                kpos = P._local_pos(R, C + w - 1, C)
-                lpos, rpos = P.window_lr_min_2d(hv, kpos, w, want_right=True)
+                lpos, rpos = P.window_lr_min_2d(hv, w, C, want_right=True)
                 if stage == "sliding_min":
                     return acc ^ lpos.sum(dtype=jnp.uint32) ^ rpos.sum(dtype=jnp.uint32)
                 tg = (M.astype(jnp.int32) >> 1) & 1
@@ -158,6 +157,11 @@ def bench_incremental(n, quick=False):
                     return acc ^ sel.sum(dtype=jnp.uint32)
                 selF = sel.reshape(R * C)
                 prev = jnp.concatenate([acc.reshape(1), selF[:-1]])
+                if stage == "collect_rows":
+                    # the run_pipeline path: row-local compaction, host concat
+                    (out,), counts = P.compact_rows(
+                        [sel], (selF != prev).reshape(R, C))
+                    return acc ^ out.sum(dtype=jnp.uint32) ^ counts.sum().astype(jnp.uint32)
                 out, count = P.compact_flat(selF, selF != prev, R, C)
                 return acc ^ out.sum(dtype=jnp.uint32) ^ count.astype(jnp.uint32)
 
@@ -166,7 +170,8 @@ def bench_incremental(n, quick=False):
         return lambda: run(packed_dev, table_dev)
 
     rows = []
-    stages = ["gather", "hash", "sliding_min", "strand", "collect_dedup"]
+    stages = ["gather", "hash", "sliding_min", "strand", "collect_rows",
+              "collect_dedup"]
     if quick:
         stages = ["gather", "collect_dedup"]
     for stage in stages:

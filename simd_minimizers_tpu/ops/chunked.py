@@ -50,16 +50,16 @@ def sketch(
         chunk = codes_np[s:chars_end]
         amb = ambiguous_np[s:chars_end] if ambiguous_np is not None else None
         res = pipeline.run_chunk(
-            chunk, k, w, hasher, mode, amb, offset=s, prev_raw=prev_raw
+            chunk, k, w, hasher, mode, amb, offset=s, prev_raw=prev_raw, rows=True
         )
         if mode == pipeline.MODE_SUPERKMERS:
-            out, idx, count, last_raw = res
-            cnt = int(count)
-            outs.append(np.asarray(out)[:cnt])
-            idxs.append(np.asarray(idx)[:cnt])
+            out, idx, counts, last_raw = res
+            cnts = np.asarray(counts)
+            outs.append(pipeline.rows_to_flat(np.asarray(out), cnts))
+            idxs.append(pipeline.rows_to_flat(np.asarray(idx), cnts))
         else:
-            out, count, last_raw = res
-            outs.append(np.asarray(out)[: int(count)])
+            out, counts, last_raw = res
+            outs.append(pipeline.rows_to_flat(np.asarray(out), np.asarray(counts)))
         prev_raw = int(last_raw)
     if mode == pipeline.MODE_SUPERKMERS:
         return np.concatenate(outs), np.concatenate(idxs)

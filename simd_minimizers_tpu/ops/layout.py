@@ -158,6 +158,63 @@ def windowed_sum(bits: jnp.ndarray, l: int) -> jnp.ndarray:
     return _windowed_fold(bits.astype(jnp.int32), l, jnp.add)
 
 
+def window_min_cols_packed(hv: jnp.ndarray, w: int, right_tie: bool) -> jnp.ndarray:
+    """Per-row sliding-window minimum COLUMNS via the packed-position trick.
+
+    The reference packs positions into the low 16 bits of the compared
+    value so one unsigned min realizes the (hash_top16, position) order
+    (/root/reference/src/sliding_min.rs:104-106); positions here are the
+    in-row kmer columns (wrap-free: column < C + w - 1 < 2^16). For the
+    rightmost arm the column is complemented (the `!pos` trick of
+    src/sliding_min.rs:190-192). hv must be TOP16-masked (invalid kmers =
+    0xFFFFFFFF, which dominates either encoding).
+
+    Returns (R, S - w + 1) int32 columns of each window's minimum.
+    """
+    R, S = hv.shape
+    assert S < (1 << 16), "packed-position min needs columns < 2^16"
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1).astype(jnp.uint32)
+    elem = hv | (jnp.uint32(0xFFFF) - col if right_tie else col)
+    f = elem
+    p = 1
+    while p * 2 <= w:
+        L = f.shape[1] - p
+        f = jnp.minimum(f[:, :L], f[:, p : p + L])
+        p *= 2
+    C = S - w + 1
+    f = jnp.minimum(f[:, :C], f[:, w - p : w - p + C])
+    c16 = (f & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    return (0xFFFF - c16) if right_tie else c16
+
+
+def butterfly_pack_rows(planes, shift2: jnp.ndarray, dead: jnp.ndarray):
+    """Left-pack live elements WITHIN each row independently.
+
+    Same contract as butterfly_pack but shifts never cross rows, so only
+    log2(C) stages of within-row rolls are needed (vs log2(R*C) flat
+    stages). `planes` is a list of uint32 (R, C) arrays sharing one keep
+    mask; returns the packed planes (front of each row holds its kept
+    elements in order, INVALID tail).
+    """
+    INVALID = jnp.uint32(0xFFFF_FFFF)
+    xs = [jnp.where(dead, INVALID, v) for v in planes]
+    s = jnp.where(dead, 0, shift2)
+    C = shift2.shape[1]
+    d = 1
+    while d < C:
+        ss = jnp.concatenate([s[:, d:], s[:, :d]], axis=1)
+        take = (ss & d) != 0
+        hole = ((s & d) != 0) & ~take
+        xs = [
+            jnp.where(take, jnp.concatenate([x[:, d:], x[:, :d]], axis=1),
+                      jnp.where(hole, INVALID, x))
+            for x in xs
+        ]
+        s = jnp.where(take, ss - d, jnp.where(hole, 0, s))
+        d *= 2
+    return xs
+
+
 def window_lex_min(hv: jnp.ndarray, pos: jnp.ndarray, w: int, right_tie: bool) -> jnp.ndarray:
     """Per-row sliding-window minimum positions over (hash, pos) pairs.
 

@@ -17,18 +17,23 @@ the compiled XLA graph is independent of sequence length:
                           key stream to (blocks, w), cummin left and right,
                           combine  win[i] = min(suffix[i], prefix[i+w-1])
                           (the parallel form of src/sliding_min.rs:269-284).
-- 16-bit position trick -> full lexicographic (hash_top16, position) pairs.
-                          The reference packs positions into the low 16 bits
-                          to save SIMD registers and re-bases them
-                          periodically (src/sliding_min.rs:245-252); on the
-                          TPU VPU a second u32 plane orders identically and
-                          is wrap-free at any length.
+- 16-bit position trick -> the reference's packed (hash_top16 | pos16)
+                          single-value compare (src/sliding_min.rs:104-106)
+                          carried over directly, but wrap-free: the packed
+                          index is the in-row kmer COLUMN (< 2^16 always),
+                          with the row base re-attached after the min
+                          (layout.window_min_cols_packed) — no periodic
+                          rebase (src/sliding_min.rs:245-252) needed.
 - canonical strand      -> windowed #TG counts from per-row prefix sums
                           (src/canonical.rs:12-31).
-- dedup + compaction    -> keep-mask + hierarchical cumsum + scatter into a
-                          capacity-bounded buffer with a count (the
-                          shuffle-LUT compaction of src/intrinsics/dedup.rs
-                          done the XLA way).
+- dedup + compaction    -> keep-mask + prefix-sum ranks + butterfly
+                          left-pack (the shuffle-LUT compaction of
+                          src/intrinsics/dedup.rs done the XLA way).
+                          Single-shot/streamed paths compact per ROW
+                          (log2(C) stages, compact_rows) and concatenate
+                          rows on the host; device-composed paths
+                          (device_driver, shard_map bodies) use the global
+                          flat butterfly (compact_flat).
 
 All comparisons use only the top 16 bits of the hash with
 leftmost/rightmost tie-breaking, bit-identically to the reference.
@@ -48,10 +53,12 @@ import numpy as np
 from ..hashers import KmerHasher
 from ..utils.bits import SKIPPED as _SKIPPED_NP
 from .layout import (
+    _hillis_steele,
     build_lane_matrix,
     butterfly_pack,
+    butterfly_pack_rows,
     cumsum_rows_carry,
-    window_lex_min,
+    window_min_cols_packed,
     windowed_sum,
     windowed_xor,
 )
@@ -154,15 +161,24 @@ def kmer_hashes_2d(M: jnp.ndarray, hasher, C: int) -> jnp.ndarray:
     raise ValueError(f"unknown hasher kind {hasher.kind}")
 
 
-def window_lr_min_2d(hv: jnp.ndarray, pos: jnp.ndarray, w: int, want_right: bool):
-    """Per-row sliding-window minima over (top-16 hash, pos) with exact ties.
+def window_lr_min_2d(hv: jnp.ndarray, w: int, C: int, want_right: bool):
+    """Per-row sliding-window minimum positions with exact tie semantics.
 
-    hv/pos: (R, NKr) with NKr = C + w - 1 kmers per row; returns (R, C)
-    leftmost positions, and rightmost when requested (sparse-table form,
-    see layout.window_lex_min).
+    hv: (R, NKr) TOP16-masked hashes, NKr = C + w - 1 kmers per row
+    (invalid kmers = 0xFFFFFFFF). Returns (R, C) uint32 chunk-local
+    positions r*C + col of each window's leftmost minimum, and rightmost
+    when requested. Single-plane packed-position min (the reference's
+    16-bit trick, layout.window_min_cols_packed) — half the planes and a
+    quarter of the per-stage ops of the two-plane lexicographic compare.
     """
-    lpos = window_lex_min(hv, pos, w, right_tie=False)
-    rpos = window_lex_min(hv, pos, w, right_tie=True) if want_right else None
+    R = hv.shape[0]
+    rowbase = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C).astype(U32)
+    lcol = window_min_cols_packed(hv, w, right_tie=False)
+    lpos = rowbase + lcol.astype(U32)
+    rpos = None
+    if want_right:
+        rcol = window_min_cols_packed(hv, w, right_tie=True)
+        rpos = rowbase + rcol.astype(U32)
     return lpos, rpos
 
 
@@ -188,6 +204,30 @@ def compact_flat(values: jnp.ndarray, keep: jnp.ndarray, R: int, C: int):
     return out.reshape(R * C), count.astype(jnp.int32)
 
 
+def compact_rows(planes, keep2):
+    """Row-LOCAL stream compaction: each row front-packs its kept elements.
+
+    planes: list of (R, C) uint32 arrays sharing one keep mask. Returns
+    (packed planes, per-row counts (R,) int32). log2(C) butterfly stages
+    instead of log2(R*C) — the cross-row concatenation is a cheap host
+    (or caller) step, since row outputs are already in flat order.
+    """
+    keep_i = keep2.astype(jnp.int32)
+    rank = _hillis_steele(keep_i, axis=1)  # inclusive per-row
+    counts = rank[:, -1]
+    j = jax.lax.broadcasted_iota(jnp.int32, keep2.shape, 1)
+    shift = jnp.where(keep2, j - (rank - 1), 0)
+    return butterfly_pack_rows(planes, shift, ~keep2), counts
+
+
+def rows_to_flat(rows_np: np.ndarray, counts_np: np.ndarray) -> np.ndarray:
+    """Host-side concat of row-packed outputs (flat order == global order)."""
+    parts = [rows_np[r, : int(c)] for r, c in enumerate(counts_np) if c]
+    if not parts:
+        return np.zeros(0, np.uint32)
+    return np.concatenate(parts)
+
+
 def selected_window_stream_2d(codes, n, offset, k, w, hasher, C, R, ambiguous=None):
     """Per-window selected minimizer positions for one chunk.
 
@@ -206,7 +246,7 @@ def selected_window_stream_2d(codes, n, offset, k, w, hasher, C, R, ambiguous=No
     kpos = _local_pos(R, C + w - 1, C)
     # kmers beyond the true chunk end never win
     hv = jnp.where(kpos.astype(jnp.int32) <= n - k, hv, INVALID)
-    lpos, rpos = window_lr_min_2d(hv, kpos, w, want_right=hasher.canonical)
+    lpos, rpos = window_lr_min_2d(hv, w, C, want_right=hasher.canonical)
     if hasher.canonical:
         tg = (M.astype(jnp.int32) >> 1) & 1
         cnt = windowed_counts_2d(tg, l)  # (R, C)
@@ -252,15 +292,51 @@ def _pipeline_chunk(codes, n, offset, prev_raw, ambiguous, k, w, hasher, mode, s
     return out, count, last_raw
 
 
+def _pipeline_chunk_rows(codes, n, offset, prev_raw, ambiguous, k, w, hasher,
+                         mode, skip_ambiguous, C, R):
+    """Like _pipeline_chunk but with row-local compaction (compact_rows):
+    returns ((R, C) packed rows..., per-row counts, last_raw). The caller
+    concatenates rows (rows_to_flat) — the fast path for single-shot and
+    host-streamed runs, skipping the global-cumsum + flat butterfly."""
+    sel, valid, widx = selected_window_stream_2d(
+        codes, n, offset, k, w, hasher, C, R, ambiguous if skip_ambiguous else None
+    )
+    gw = widx.astype(U32) + offset.astype(U32)
+    nw_valid = jnp.maximum(n - (k + w - 1) + 1, 1)
+    last_raw = sel[jnp.minimum(nw_valid - 1, sel.shape[0] - 1)]
+    sel2 = sel.reshape(R, C)
+    gw2 = gw.reshape(R, C)
+    if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
+        if mode == MODE_OPEN_SYNCMERS:
+            is_sync = sel == gw + U32(w // 2)
+        else:
+            is_sync = (sel == gw) | (sel == gw + U32(w - 1))
+        keep = (valid & is_sync & (sel != SKIPPED)).reshape(R, C)
+        (out,), counts = compact_rows([gw2], keep)
+        return out, counts, last_raw
+    prev = jnp.concatenate([prev_raw.reshape(1), sel[:-1]])
+    keep = valid & (sel != prev)
+    if skip_ambiguous:
+        keep = keep & (sel != SKIPPED)
+    keep = keep.reshape(R, C)
+    if mode == MODE_SUPERKMERS:
+        (out, idx), counts = compact_rows([sel2, gw2], keep)
+        return out, idx, counts, last_raw
+    (out,), counts = compact_rows([sel2], keep)
+    return out, counts, last_raw
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "R"),
+    static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "R",
+                     "rows"),
 )
 def _jit_chunk(codes, n, offset, prev_raw, ambiguous, table, mul_const,
-               *, k, w, mode, skip_ambiguous, hasher_key, C, R):
+               *, k, w, mode, skip_ambiguous, hasher_key, C, R, rows=False):
     kind, canonical, rot_offset = hasher_key
     hasher = TracedHasher(kind, k, canonical, rot_offset, table, mul_const)
-    return _pipeline_chunk(
+    fn = _pipeline_chunk_rows if rows else _pipeline_chunk
+    return fn(
         codes, n, offset, prev_raw, ambiguous, k, w, hasher, mode, skip_ambiguous, C, R
     )
 
@@ -313,8 +389,13 @@ def run_chunk(
     offset: int = 0,
     prev_raw: int = INVALID_INT,
     C: int = DEFAULT_C,
+    rows: bool = False,
 ):
-    """Run one chunk on device; returns device (out, [idx,] count, last_raw)."""
+    """Run one chunk on device.
+
+    Returns device (out, [idx,] count, last_raw); with rows=True the out
+    planes are (R, C) row-packed and count is per-row (see compact_rows /
+    rows_to_flat)."""
     l = k + w - 1
     n = int(codes_np.shape[0])
     Cg, R = lane_geometry(n, l, C)
@@ -341,6 +422,7 @@ def run_chunk(
         hasher_key=key,
         C=Cg,
         R=R,
+        rows=rows,
     )
 
 
@@ -366,10 +448,10 @@ def run_pipeline(
     empty = np.zeros(0, dtype=np.uint32)
     if n < l:
         return (empty, empty) if mode == MODE_SUPERKMERS else empty
-    res = run_chunk(codes_np, k, w, hasher, mode, ambiguous_np)
+    res = run_chunk(codes_np, k, w, hasher, mode, ambiguous_np, rows=True)
     if mode == MODE_SUPERKMERS:
-        out, idx, count, _ = res
-        cnt = int(count)
-        return np.asarray(out)[:cnt], np.asarray(idx)[:cnt]
-    out, count, _ = res
-    return np.asarray(out)[: int(count)]
+        out, idx, counts, _ = res
+        cnts = np.asarray(counts)
+        return rows_to_flat(np.asarray(out), cnts), rows_to_flat(np.asarray(idx), cnts)
+    out, counts, _ = res
+    return rows_to_flat(np.asarray(out), np.asarray(counts))
