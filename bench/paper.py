@@ -70,13 +70,15 @@ def timed(fn, reps=5):
     return max((tm - t1) / reps, 1e-9)
 
 
-def fused_runner(packed_dev, nw, k, w, hasher, C=F.DEF_C, G=None):
-    """Times the production path: on-device 2-bit decode + fused kernel."""
+def fused_runner(packed_dev, nw, k, w, hasher, C=F.DEF_C, G=None,
+                 input_mode="striped2", fold_ascii=False):
+    """Times the production path: on-device decode + fused kernel."""
     key, table, mul_const = hasher_jit_args(hasher)
     args = (packed_dev, jnp.zeros(F.TAIL, jnp.uint32), jnp.asarray([nw, 0], np.int32),
             jnp.asarray(table), jnp.asarray([mul_const], np.uint32))
     kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
-              hasher_key=key, C=C, G=G, packed_input=True)
+              hasher_key=key, C=C, G=G, input_mode=input_mode,
+              fold_ascii=fold_ascii)
 
     def run():
         return F._fused_call(*args, **kw)[2]
@@ -107,10 +109,38 @@ def bench_external(n, quick=False):
                 t = timed(fused_runner(codes_dev, nw, k, w, h, G=G))
                 ns = t * 1e9 / n
                 rows.append({"w": w, "k": k, "canonical": canonical,
-                             "hasher": hname, "ns_per_bp": round(ns, 4)})
+                             "hasher": hname, "input": "packed",
+                             "ns_per_bp": round(ns, 4)})
                 print(f"[external] w={w} k={k} canon={canonical} {hname}: "
                       f"{ns:.4f} ns/bp", file=sys.stderr)
         del codes_dev
+        # ascii input classes (paper.rs:327-394) at the main config only
+        # (each variant is another multi-minute Mosaic compile)
+        if (w, k) != (11, 21) or quick:
+            continue
+        from simd_minimizers_tpu.seq.packed import _CODE_TO_ASCII
+
+        _, SLABW8, SLABW8_PAD = F.striped8_geometry(F.DEF_C)
+        abuf = np.zeros(G * BC + F.TAIL, np.uint8)
+        abuf[:n] = _CODE_TO_ASCII[base]
+        ascii_dev = jnp.asarray(native.pack_bytes_striped(
+            abuf, G, BC, SLABW8, SLABW8_PAD))
+        for inp, fold in (("ascii-dna", True), ("ascii", False)):
+            for canonical in (False, True):
+                hashers = {"mul": MulHasher(k, canonical=canonical)}
+                if inp == "ascii-dna":
+                    hashers["nt"] = NtHasher(k, canonical=canonical)
+                for hname, h in hashers.items():
+                    t = timed(fused_runner(ascii_dev, nw, k, w, h, G=G,
+                                           input_mode="striped8",
+                                           fold_ascii=fold))
+                    ns = t * 1e9 / n
+                    rows.append({"w": w, "k": k, "canonical": canonical,
+                                 "hasher": hname, "input": inp,
+                                 "ns_per_bp": round(ns, 4)})
+                    print(f"[external] w={w} k={k} canon={canonical} "
+                          f"{hname} {inp}: {ns:.4f} ns/bp", file=sys.stderr)
+        del ascii_dev
     return rows
 
 
@@ -322,40 +352,105 @@ def bench_human_genome(quick=False):
     """CHM13-scale run: canonical k=21 w=11 over ~3.1 Gbp.
 
     Uses the real genome if human-genome.fa / $HUMAN_GENOME_FA exists
-    (reference bench/src/lib.rs:51-82), else synthetic random DNA of the
-    same size. Reports end-to-end wall clock (host pack + transfer +
-    kernels + merge) and device-only time.
+    (reference bench/src/lib.rs:51-82) and reports end-to-end wall clock
+    (host pack + transfer + kernels + merge). Always ALSO reports a
+    MEASURED device-resident figure: 3.1 Gbp of device-generated random
+    DNA (striped words straight out of the TPU PRNG, zero host traffic)
+    streamed through the fused kernel in two <2^31-char calls with u32
+    offsets and reduced (clamped) output buffers; device_s_measured is
+    the enqueue->sync wall of the full run, best of 3.
     """
-    from simd_minimizers_tpu.ops.fused import sketch_long
+    import jax
+
     from simd_minimizers_tpu.seq import fasta
 
     k, w = 21, 11
     h = NtHasher(k, canonical=True)
+    l = k + w - 1
+    res = {}
+
+    # ---- measured device-resident synthetic run ----
     n = 3_100_000_000 if not quick else 200_000_000
-    source = "synthetic"
+    C = F.DEF_C
+    BC = F.RB * C
+    nw_tot = n - l + 1
+    ncalls = -(-nw_tot // ((1 << 31) - (1 << 24)))
+    nw_call = -(-nw_tot // ncalls)
+    G = -(-nw_call // BC)
+    _, SLABW, SLABW_PAD = F.striped_geometry(C)
+    key_h, table, mulc = hasher_jit_args(h)
+    words = jax.random.bits(jax.random.key(0), (G * SLABW_PAD,), dtype=jnp.uint32)
+    amb = jnp.zeros(F.TAIL, jnp.uint32)
+    tab = jnp.asarray(table)
+    mc = jnp.asarray([mulc], np.uint32)
+    out_cap = (int(0.35 * G * BC) // F.TAIL + 1) * F.TAIL  # 2x density margin
+
+    def call(nw_loc, off):
+        off_bits = int(np.asarray([np.uint32(off)], np.uint32).view(np.int32)[0])
+        return F._fused_call(
+            words, amb, jnp.asarray([nw_loc, off_bits], np.int32), tab, mc,
+            k=k, w=w, mode="minimizers", skip_ambiguous=False,
+            hasher_key=key_h, C=C, G=G, input_mode="striped2",
+            out_cap=out_cap)
+
+    spans = []
+    s = 0
+    while s < nw_tot:
+        e = min(s + nw_call, nw_tot)
+        spans.append((e - s, s))
+        s = e
+
+    def run_once():
+        t0 = time.perf_counter()
+        cs = []
+        for sp in spans:
+            out, idx, c = call(*sp)
+            cs.append(c)
+            del out, idx
+        tot = sum(int(c[0]) for c in cs)  # host sync
+        return time.perf_counter() - t0, tot
+
+    run_once()  # compile + warm
+    best, tot = min(run_once() for _ in range(3))
+    density = tot / nw_tot
+    res.update({
+        "n": n, "calls": len(spans), "count": tot,
+        "density": round(density, 5),
+        "device_s_measured": round(best, 3),
+        "gbp_per_s_device": round(n / best / 1e9, 3),
+        "note": ("device-resident: inputs generated on device (TPU PRNG "
+                 "striped words), outputs stay on device, count fetched; "
+                 "includes per-call dispatch over the tunnel; counts are "
+                 "per-call sums (no cross-call seam merge, <= 1 dup/seam)"),
+    })
+    print(f"[human_genome] device-resident {n/1e9:.2f} Gbp: {best:.3f}s "
+          f"measured ({n/best/1e9:.2f} Gbp/s), density {density:.5f}",
+          file=sys.stderr)
+    del words
+
+    # ---- real genome end-to-end when available ----
     try:
         recs = fasta.read_human_genome()
+        from simd_minimizers_tpu.ops.fused import sketch_long
+
         codes = np.concatenate([r.codes for r in recs])
-        n = codes.size
-        source = "chm13"
+        nr = codes.size
+        t0 = time.perf_counter()
+        pos = sketch_long(codes, k, w, h)
+        wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pos = sketch_long(codes, k, w, h)
+        wall2 = time.perf_counter() - t0
+        res.update({
+            "source": "chm13", "n_real": nr, "count_real": int(pos.size),
+            "density_real": round(pos.size / (nr - l + 1), 5),
+            "wall_s_first": round(wall, 2), "wall_s": round(wall2, 2),
+            "gbp_per_s_wall": round(nr / wall2 / 1e9, 3),
+        })
+        print(f"[human_genome] chm13 {nr/1e9:.2f} Gbp: {wall2:.2f}s wall",
+              file=sys.stderr)
     except FileNotFoundError:
-        rng = np.random.default_rng(0xC13)
-        codes = rng.integers(0, 4, n, dtype=np.uint8)
-    t0 = time.perf_counter()
-    pos = sketch_long(codes, k, w, h)
-    wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    pos = sketch_long(codes, k, w, h)
-    wall2 = time.perf_counter() - t0
-    nw = n - (k + w - 1) + 1
-    res = {
-        "source": source, "n": n, "count": int(pos.size),
-        "density": round(pos.size / nw, 5),
-        "wall_s_first": round(wall, 2), "wall_s": round(wall2, 2),
-        "gbp_per_s_wall": round(n / wall2 / 1e9, 3),
-    }
-    print(f"[human_genome] {source} {n/1e9:.2f} Gbp: {wall2:.2f}s wall "
-          f"({n/wall2/1e9:.2f} Gbp/s), {pos.size} minimizers", file=sys.stderr)
+        res["source"] = "synthetic-device"
     return res
 
 

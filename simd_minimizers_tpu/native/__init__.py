@@ -50,6 +50,7 @@ def _build_and_load():
         lib.pack_2bit_striped.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                           ctypes.c_int64, ctypes.c_int64,
                                           ctypes.c_int64, ctypes.c_void_p]
+        lib.pack_bytes_striped.argtypes = lib.pack_2bit_striped.argtypes
         lib.fasta_scan.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                    ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_int64]
@@ -155,6 +156,25 @@ def fasta_scan(buf: np.ndarray, max_records: int = 1 << 20):
 
 def available() -> bool:
     return _build_and_load() is not None
+
+
+def pack_bytes_striped(codes: np.ndarray, nblocks: int, bc: int,
+                       slabw: int, slabw_pad: int) -> np.ndarray:
+    """Striped byte packing (4 chars/word, 8-bit fields) for general-ASCII
+    fused-kernel input; layout mirrors pack_2bit_striped with 4 phases."""
+    lib = _build_and_load()
+    out = np.zeros(nblocks * slabw_pad, np.uint32)
+    if lib is not None and nblocks:
+        codes = np.ascontiguousarray(codes)
+        lib.pack_bytes_striped(_ptr(codes), nblocks, bc, slabw, slabw_pad, _ptr(out))
+        return out
+    out2 = out.reshape(nblocks, slabw_pad)
+    v = np.lib.stride_tricks.as_strided(
+        codes, shape=(nblocks, 4 * slabw), strides=(bc * codes.strides[0], codes.strides[0])
+    )
+    for t in range(4):
+        out2[:, :slabw] |= v[:, t * slabw : (t + 1) * slabw].astype(np.uint32) << np.uint32(8 * t)
+    return out
 
 
 def pack_2bit_striped(codes: np.ndarray, nblocks: int, bc: int,

@@ -72,6 +72,24 @@ void pack_2bit_striped(const uint8_t* codes, int64_t nblocks, int64_t bc,
     }
 }
 
+// Striped byte packing for the fused kernel's general-ASCII input path:
+// like pack_2bit_striped but 4 chars per u32 word, 8-bit fields (char t
+// of word m at bits 8t). Used for AsciiSeq (folded to 2-bit on device)
+// and general &[u8] text, where chars don't fit 2 bits.
+void pack_bytes_striped(const uint8_t* codes, int64_t nblocks, int64_t bc,
+                        int64_t slabw, int64_t slabw_pad, uint32_t* out) {
+    for (int64_t b = 0; b < nblocks; b++) {
+        uint32_t* ob = out + b * slabw_pad;
+        for (int64_t m = 0; m < slabw_pad; m++) ob[m] = 0;
+        const uint8_t* base = codes + b * bc;
+        for (int t = 0; t < 4; t++) {
+            const uint8_t* src = base + (int64_t)t * slabw;
+            const uint32_t sh = 8 * t;
+            for (int64_t m = 0; m < slabw; m++) ob[m] |= ((uint32_t)src[m]) << sh;
+        }
+    }
+}
+
 // One-pass FASTA scan: concatenates record sequences into codes/amb,
 // recording record start offsets. Handles \r\n, multi-line records,
 // lowercase, and arbitrary IUPAC letters (flagged ambiguous).

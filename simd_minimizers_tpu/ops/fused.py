@@ -259,15 +259,33 @@ def striped_geometry(C: int) -> tuple[int, int, int]:
     return SLAB, SLABW, SLABW_PAD
 
 
+def striped8_geometry(C: int) -> tuple[int, int, int]:
+    """Byte-striped variant (4 chars/word, 8-bit fields): general ASCII."""
+    SLAB = RB * C + TAIL
+    SLABW = SLAB // 4
+    SLABW_PAD = -(-SLABW // 1024) * 1024
+    return SLAB, SLABW, SLABW_PAD
+
+
 def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
-                 C, G, PADH, packed_in=False, ablate=None):
+                 C, G, PADH, in_mode="striped2", fold_ascii=False, ablate=None,
+                 out_cap=None):
     l = k + w - 1
     BC = RB * C
     BCP = (RB + 1) * C  # butterfly width incl. the carried-tail row
     SP = C + PADH  # columns per row (>= C + l - 1)
     SLAB, SLABW, SLABW_PAD = striped_geometry(C)  # chars staged per block
+    _, SLABW8, SLABW8_PAD = striped8_geometry(C)
     assert PADH <= TAIL
+    assert in_mode in ("striped2", "striped8", "i32")
     emit_idx = mode == MODE_SUPERKMERS
+    # Reduced output buffers (huge runs where worst-case = #windows would
+    # dominate HBM): writes clamp to [0, out_cap - BCP], so an overflow
+    # truncates instead of corrupting memory — detectable because the
+    # reported count still carries the true total.
+    full_cap = G * BC + BCP + TAIL
+    out_cap = full_cap if out_cap is None else min(out_cap, full_cap)
+    W_MAX = out_cap - BCP - TAIL  # TAIL-aligned by construction below
 
     def kernel(nw_ref, tab_ref, mul_ref, codes_hbm, amb_hbm,
                out_hbm, idx_hbm, count_ref,
@@ -294,6 +312,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         total = state[0]
         W = (total // TAIL) * TAIL
         rem = total - W
+        Wdma = jnp.minimum(W, W_MAX)  # clamp only the append offsets
 
         # ---- double-buffered input DMA ----
         # packed_in: striped 2-bit words (16 chars/word, char t of word m at
@@ -304,8 +323,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         # compute (two slots; the output append stays serial because the
         # aligned-append tail re-read depends on it).
         def in_copy(blk, slot_ref, slot):
-            if packed_in:
+            if in_mode == "striped2":
                 src = codes_hbm.at[pl.ds(blk * SLABW_PAD, SLABW_PAD)]
+            elif in_mode == "striped8":
+                src = codes_hbm.at[pl.ds(blk * SLABW8_PAD, SLABW8_PAD)]
             else:
                 src = codes_hbm.at[pl.ds(blk * BC, SLAB)]
             return pltpu.make_async_copy(src, slot_ref, sem_in.at[slot])
@@ -332,21 +353,24 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             @pl.when((~active) & prev_active)
             def _():
                 pltpu.make_async_copy(
-                    outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
+                    outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
 
         def body():
             # In the fast path (no idx plane) the append tail lives in the
             # persistent tailbuf VMEM scratch; only emit_idx re-reads HBM.
             if emit_idx:
-                tp = pltpu.make_async_copy(out_hbm.at[pl.ds(W, TAIL)], tailbuf, sem2)
+                tp = pltpu.make_async_copy(out_hbm.at[pl.ds(Wdma, TAIL)], tailbuf, sem2)
                 tp.start()
-                tp2 = pltpu.make_async_copy(idx_hbm.at[pl.ds(W, TAIL)], tailbuf2, sem2)
+                tp2 = pltpu.make_async_copy(idx_hbm.at[pl.ds(Wdma, TAIL)], tailbuf2, sem2)
                 tp2.start()
                 tp2.wait()
             if skip_ambiguous:
-                if packed_in:
+                if in_mode == "striped2":
                     ap = pltpu.make_async_copy(
                         amb_hbm.at[pl.ds(g * SLABW_PAD, SLABW_PAD)], amb_slab, sem2)
+                elif in_mode == "striped8":
+                    ap = pltpu.make_async_copy(
+                        amb_hbm.at[pl.ds(g * SLABW8_PAD, SLABW8_PAD)], amb_slab, sem2)
                 else:
                     ap = pltpu.make_async_copy(
                         amb_hbm.at[pl.ds(g * BC, SLAB)], amb_slab, sem2)
@@ -364,19 +388,29 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 in_copy(g, slab1, 1).wait()
 
             # ---- lane matrix (RB, SP): row r = chars[r*C : r*C + SP] ----
-            def lane_matrix_from(val):
-                if packed_in:
+            def lane_matrix_from(val, fold=False):
+                if in_mode == "striped2":
                     ww = val.reshape(1, SLABW_PAD)[:, :SLABW]
                     X = pltpu.repeat(ww, 16, axis=1)  # X[:, t*SLABW + m] = word m
                     t = jax.lax.broadcasted_iota(I32, (1, 16 * SLABW), 1) // SLABW
                     chars = (X >> (U32(2) * t.astype(U32))) & U32(3)  # natural order
-                    rows = [chars[:, r * C : r * C + SP] for r in range(RB)]
-                    return jnp.concatenate(rows, axis=0)
-                v2 = val.reshape(1, val.shape[0])
-                rows = [v2[:, r * C : r * C + SP] for r in range(RB)]
-                return jnp.concatenate(rows, axis=0).astype(U32)
+                elif in_mode == "striped8":
+                    ww = val.reshape(1, SLABW8_PAD)[:, :SLABW8]
+                    X = pltpu.repeat(ww, 4, axis=1)  # X[:, t*SLABW8 + m] = word m
+                    t = jax.lax.broadcasted_iota(I32, (1, 4 * SLABW8), 1) // SLABW8
+                    chars = (X >> (U32(8) * t.astype(U32))) & U32(0xFF)
+                else:
+                    v2 = val.reshape(1, val.shape[0]).astype(U32)
+                    chars = v2
+                if fold:
+                    # on-device ASCII-DNA fold: (c >> 1) & 3, the packed-seq
+                    # code mapping (/root/reference/src/lib.rs:121-128)
+                    chars = (chars >> U32(1)) & U32(3)
+                rows = [chars[:, r * C : r * C + SP] for r in range(RB)]
+                return jnp.concatenate(rows, axis=0)
 
-            M = lane_matrix_from(jnp.where(even, slab0[...], slab1[...]))
+            M = lane_matrix_from(jnp.where(even, slab0[...], slab1[...]),
+                                 fold=fold_ascii)
 
             def _ablate_out(x):
                 # bench-only: checksum a stage's result and stop (prevents DCE)
@@ -428,9 +462,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 sel = lpos
 
             if skip_ambiguous:
-                A = lane_matrix_from(amb_slab[...]).astype(I32)
-                if not packed_in:
-                    A = A & 1
+                A = (lane_matrix_from(amb_slab[...]) & U32(1)).astype(I32)
                 acnt = _win_fold(A, l, jnp.add, None)[:, :C]
                 sel = jnp.where(acnt > 0, SKIPPED, sel)
 
@@ -499,10 +531,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             if emit_idx:
                 # serial path: the HBM tail re-read above needs completed writes
                 outbuf[:] = packed[0].reshape(BCP)
-                od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
+                od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem)
                 od.start()
                 idxbuf[:] = packed[1].reshape(BCP)
-                od2 = pltpu.make_async_copy(idxbuf, idx_hbm.at[pl.ds(W, BCP)], sem2)
+                od2 = pltpu.make_async_copy(idxbuf, idx_hbm.at[pl.ds(Wdma, BCP)], sem2)
                 od2.start()
                 od2.wait()
                 od.wait()
@@ -516,7 +548,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 @pl.when(g > 0)  # g-1's write still reads outbuf: wait first
                 def _():
                     pltpu.make_async_copy(
-                        outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
+                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
 
                 outbuf[:] = packed[0].reshape(BCP)
                 W_next = (total_new // TAIL) * TAIL
@@ -530,13 +562,13 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     cand = packed[0][rr : rr + 1, col : col + TAIL]
                     acc = jnp.where(slot_idx == cslot, cand, acc)
                 tailbuf[:] = acc.reshape(TAIL)
-                od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(W, BCP)], sem)
+                od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem)
                 od.start()
 
                 @pl.when(g == G - 1)  # dead blocks otherwise absorb this wait
                 def _():
                     pltpu.make_async_copy(
-                        outbuf, out_hbm.at[pl.ds(W, BCP)], sem).wait()
+                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
 
             state[0] = total_new
             # seam for the next block: sel of this block's last window slot
@@ -559,18 +591,41 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
 
 def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
                    *, k, w, mode, skip_ambiguous, hasher_key, C, G,
-                   interpret=False, packed_input=False, ablate=None):
-    """Raw pallas_call invocation (composable inside shard_map/jit)."""
+                   interpret=False, packed_input=None, input_mode=None,
+                   fold_ascii=False, ablate=None, out_cap=None):
+    """Raw pallas_call invocation (composable inside shard_map/jit).
+
+    input_mode: "striped2" (2-bit DNA words), "striped8" (raw ASCII bytes,
+    4/word — general text, or DNA folded on device with fold_ascii), or
+    "i32" (one char per int32). `packed_input` is the legacy bool alias
+    for striped2-vs-i32.
+    """
+    if input_mode is None:
+        input_mode = "striped2" if packed_input else "i32"
     kind, canonical, rot_offset = hasher_key
     l = k + w - 1
     PADH = max(128, -(-(l - 1) // 128) * 128)
     kernel, SLAB, BC, SP = _make_kernel(
         k, w, mode, skip_ambiguous, kind, canonical, rot_offset, C, G, PADH,
-        packed_in=packed_input, ablate=ablate,
+        in_mode=input_mode, fold_ascii=fold_ascii, ablate=ablate,
+        out_cap=out_cap,
     )
     BCP = (RB + 1) * C
     cap = G * BC + BCP + TAIL
+    if out_cap is not None:
+        # reduced buffer for huge low-density runs; kernel clamps appends
+        # so an overflow truncates (count still reports the true total)
+        assert out_cap % TAIL == 0 and out_cap >= BCP + TAIL
+        cap = min(cap, out_cap)
     emit_idx = mode == MODE_SUPERKMERS
+
+    def _slab_scratch(im, C, SLAB):
+        if im == "striped2":
+            return pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32)
+        if im == "striped8":
+            return pltpu.VMEM((striped8_geometry(C)[2],), jnp.uint32)
+        return pltpu.VMEM((SLAB,), jnp.int32)
+
     out_shapes = (
         jax.ShapeDtypeStruct((cap,), jnp.uint32),
         jax.ShapeDtypeStruct((cap if emit_idx else TAIL,), jnp.uint32),
@@ -589,12 +644,9 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # count
         ),
         scratch_shapes=[
-            pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32) if packed_input
-            else pltpu.VMEM((SLAB,), jnp.int32),
-            pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32) if packed_input
-            else pltpu.VMEM((SLAB,), jnp.int32),
-            pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32) if packed_input
-            else pltpu.VMEM((SLAB,), jnp.int32),
+            _slab_scratch(input_mode, C, SLAB),
+            _slab_scratch(input_mode, C, SLAB),
+            _slab_scratch(input_mode, C, SLAB),
             pltpu.VMEM((BCP,), jnp.uint32),
             pltpu.VMEM((BCP,), jnp.uint32),
             pltpu.VMEM((TAIL,), jnp.uint32),
@@ -620,7 +672,8 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
 _fused_call = jax.jit(
     _invoke_pallas,
     static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
-                     "interpret", "packed_input", "ablate"),
+                     "interpret", "packed_input", "input_mode", "fold_ascii",
+                     "ablate", "out_cap"),
 )
 
 
@@ -654,41 +707,39 @@ def fused_sketch(
     nw = n - l + 1
     BC = RB * C
     G = max(G or 1, -(-nw // BC))
-    # DNA codes ship 2-bit packed (0.25 B/bp) and are decoded to the
-    # kernel's i32 layout on device (u8 HBM slices don't tile-align for
-    # the DMA engine); general ASCII text (&[u8] + MulHasher, values > 3)
-    # ships one-char-per-i32.
+    # DNA codes ship 2-bit packed (0.25 B/bp); general ASCII text (&[u8],
+    # values > 3) ships byte-striped (1 B/bp). Both are decoded to the
+    # lane matrix in VMEM via tile-repeat + shift (plain u8 HBM slices
+    # don't tile-align for the DMA engine).
     from .. import native
 
     is_2bit = codes_np.size == 0 or int(codes_np.max()) <= 3
     need = G * BC + TAIL
     skip_ambiguous = ambiguous_np is not None
     if is_2bit:
+        input_mode = "striped2"
         _, SLABW, SLABW_PAD = striped_geometry(C)
-        codes = np.zeros(need, np.uint8)
-        codes[:n] = codes_np
-        codes_dev = jnp.asarray(native.pack_2bit_striped(codes, G, BC, SLABW, SLABW_PAD))
-        if skip_ambiguous:
-            amb = np.zeros(need, np.uint8)
-            amb[:n] = ambiguous_np
-            amb_dev = jnp.asarray(native.pack_2bit_striped(amb, G, BC, SLABW, SLABW_PAD))
-        else:
-            amb_dev = jnp.zeros(TAIL, jnp.uint32)
+        pack = native.pack_2bit_striped
     else:
-        codes = np.zeros(need, np.int32)
-        codes[:n] = codes_np
-        codes_dev = jnp.asarray(codes)
-        amb = np.zeros(need if skip_ambiguous else TAIL, np.int32)
-        if skip_ambiguous:
-            amb[:n] = ambiguous_np
-        amb_dev = jnp.asarray(amb)
+        input_mode = "striped8"
+        _, SLABW, SLABW_PAD = striped8_geometry(C)
+        pack = native.pack_bytes_striped
+    codes = np.zeros(need, np.uint8)
+    codes[:n] = codes_np
+    codes_dev = jnp.asarray(pack(codes, G, BC, SLABW, SLABW_PAD))
+    if skip_ambiguous:
+        amb = np.zeros(need, np.uint8)
+        amb[:n] = ambiguous_np
+        amb_dev = jnp.asarray(pack(amb, G, BC, SLABW, SLABW_PAD))
+    else:
+        amb_dev = jnp.zeros(TAIL, jnp.uint32)
     key, table, mul_const = hasher_jit_args(hasher)
     off_bits = np.asarray([np.uint32(offset)], np.uint32).view(np.int32)[0]
     out, idx, count = _fused_call(
         codes_dev, amb_dev, jnp.asarray([nw, off_bits], np.int32),
         jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
         k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
-        C=C, G=G, interpret=interpret, packed_input=is_2bit,
+        C=C, G=G, interpret=interpret, input_mode=input_mode,
     )
     cnt = int(count[0])
     if mode == MODE_SUPERKMERS:

@@ -106,3 +106,96 @@ def test_sketch_long_spans():
 
     got2 = fused_sketch(codes[:20000], k, w, h, C=C, offset=1000, interpret=True)
     np.testing.assert_array_equal(got2, _want(codes[:20000], k, w, h) + 1000)
+
+
+def test_fused_generic_text_striped8():
+    """General ASCII text ships byte-striped and matches the oracle."""
+    from simd_minimizers_tpu.hashers import MulHasher, NtHasher
+
+    rng = np.random.default_rng(0xA5C11)
+    text = rng.integers(32, 127, 20000, dtype=np.uint8)
+    k, w = 7, 5
+    for h in [MulHasher(k), NtHasher(k, canonical=True)]:
+        if h.canonical and (k + w - 1) % 2 == 0:
+            continue
+        got = fused_sketch(text, k, w, h, C=1024, interpret=True)
+        want = oracle.collect_and_dedup(oracle.selected_stream(text, k, w, h))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_fused_ascii_dna_fold_on_device():
+    """AsciiSeq input: raw ACGT bytes ship byte-striped and fold to 2-bit
+    codes on device (the reference's ascii-dna input class,
+    /root/reference/bench/src/bin/paper.rs:327-340)."""
+    import jax.numpy as jnp
+
+    from simd_minimizers_tpu import native
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import fused as F
+    from simd_minimizers_tpu.ops.pipeline import hasher_jit_args
+    from simd_minimizers_tpu.seq.packed import _CODE_TO_ASCII
+
+    rng = np.random.default_rng(0xA5C12)
+    k, w, C = 21, 11, 1024
+    codes_true = rng.integers(0, 4, 30000, dtype=np.uint8)
+    ascii_bytes = _CODE_TO_ASCII[codes_true]
+    n = ascii_bytes.size
+    l = k + w - 1
+    nw = n - l + 1
+    BC = F.RB * C
+    G = -(-nw // BC)
+    _, SLABW8, SLABW8_PAD = F.striped8_geometry(C)
+    buf = np.zeros(G * BC + F.TAIL, np.uint8)
+    buf[:n] = ascii_bytes
+    h = NtHasher(k, canonical=True)
+    key, table, mul_const = hasher_jit_args(h)
+    out, idx, count = F._fused_call(
+        jnp.asarray(native.pack_bytes_striped(buf, G, BC, SLABW8, SLABW8_PAD)),
+        jnp.zeros(F.TAIL, jnp.uint32),
+        jnp.asarray([nw, 0], np.int32), jnp.asarray(table),
+        jnp.asarray([mul_const], np.uint32),
+        k=k, w=w, mode="minimizers", skip_ambiguous=False, hasher_key=key,
+        C=C, G=G, interpret=True, input_mode="striped8", fold_ascii=True,
+    )
+    cnt = int(count[0])
+    want = oracle.collect_and_dedup(oracle.selected_stream(codes_true, k, w, h))
+    np.testing.assert_array_equal(np.asarray(out[:cnt]), want)
+
+
+def test_fused_out_cap_truncates_but_counts():
+    """Reduced output buffers (huge low-density runs): appends clamp so an
+    overflow truncates the buffer, while count reports the true total."""
+    import jax.numpy as jnp
+
+    from simd_minimizers_tpu import native
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import fused as F
+    from simd_minimizers_tpu.ops.pipeline import hasher_jit_args
+
+    rng = np.random.default_rng(0x0C4B)
+    k, w, C = 21, 11, 1024
+    n = 120000
+    codes_np = rng.integers(0, 4, n, dtype=np.uint8)
+    l = k + w - 1
+    nw = n - l + 1
+    BC = F.RB * C
+    BCP = (F.RB + 1) * C
+    G = -(-nw // BC)
+    _, SLABW, SLABW_PAD = F.striped_geometry(C)
+    buf = np.zeros(G * BC + F.TAIL, np.uint8)
+    buf[:n] = codes_np
+    h = NtHasher(k, canonical=True)
+    key, table, mul_const = hasher_jit_args(h)
+    out_cap = BCP + 4 * F.TAIL  # far below the ~nw*2/(w+1) kept elements
+    out, idx, count = F._fused_call(
+        jnp.asarray(native.pack_2bit_striped(buf, G, BC, SLABW, SLABW_PAD)),
+        jnp.zeros(F.TAIL, jnp.uint32),
+        jnp.asarray([nw, 0], np.int32), jnp.asarray(table),
+        jnp.asarray([mul_const], np.uint32),
+        k=k, w=w, mode="minimizers", skip_ambiguous=False, hasher_key=key,
+        C=C, G=G, interpret=True, input_mode="striped2", out_cap=out_cap,
+    )
+    want = oracle.collect_and_dedup(oracle.selected_stream(codes_np, k, w, h))
+    assert int(count[0]) == want.size  # true total survives
+    w_max = out_cap - BCP - F.TAIL
+    np.testing.assert_array_equal(np.asarray(out[:w_max]), want[:w_max])

@@ -66,6 +66,13 @@ def test_fused_fuzz_on_tpu():
             want = oracle.collect_and_dedup(sel, skip_sentinel=amb_on)
             np.testing.assert_array_equal(got, want, err_msg=str((k, w, mode)))
 
+    # byte-striped input modes (general text; ascii-DNA folded on device)
+    text = rng.integers(32, 127, 50000, dtype=np.uint8)
+    h = MulHasher(7)
+    got = fused_sketch(text, 7, 5, h)
+    want = oracle.collect_and_dedup(oracle.selected_stream(text, 7, 5, h))
+    np.testing.assert_array_equal(got, want, err_msg="generic text striped8")
+
     # batched fuzz
     reads = [rng.integers(0, 4, int(m), dtype=np.uint8)
              for m in rng.integers(0, 4096, 40)]
