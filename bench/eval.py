@@ -71,12 +71,89 @@ def main():
         h = res["human_genome"]
         print(f"human genome ({h['source']}, {h['n']/1e9:.2f} Gbp): "
               f"{h['count']:,} minimizers, density {h['density']}")
-        print(f"  wall {h['wall_s']}s (tunnel-bound; device ~{h.get('device_s_est','?')}s "
-              f"at measured ns/bp)\n")
+        if "device_s_measured" in h:
+            print(f"  device {h['device_s_measured']}s MEASURED "
+                  f"({h['gbp_per_s_device']} Gbp/s, {h['calls']} calls, "
+                  f"device-resident)")
+        if "wall_s" in h:
+            print(f"  wall {h['wall_s']}s end-to-end (tunnel-bound)")
+        print()
+
+    if "plot" in res:
+        n_ours = sum(1 for r in res["plot"] if r["name"].startswith("smtpu"))
+        png = render_plot(res["plot"], os.path.dirname(path) or ".")
+        print(f"(w,k) sweep: {n_ours} measured rows + carried baselines "
+              f"-> {png}\n")
 
     if "density" in res:
         d = res["density"]
         print(f"density: {d['density']} (expected ~{d['expected']})")
+
+
+# Fixed categorical assignment (dataviz palette slots, never cycled):
+# color follows the algorithm identity across every panel and filter.
+_SERIES = [
+    ("smtpu-fused", "#2a78d6", "smtpu fused (TPU)"),
+    ("smtpu-xla", "#eb6834", "smtpu XLA pipeline (TPU)"),
+    ("simd-minimizers", "#1baf7a", "simd-minimizers (AVX2, carried)"),
+    ("rescan", "#eda100", "rescan (AVX2, carried)"),
+    ("minimizer-iter", "#e87ba4", "minimizer-iter (AVX2, carried)"),
+]
+
+
+def _series_name(row):
+    return row["name"].replace("canonical ", "")
+
+
+def render_plot(rows, outdir):
+    """results-plot.png: ns/bp vs w, one panel per k (the reference's
+    bench/eval.py plot, re-designed as small multiples instead of
+    size-encoded overlays)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.lines import Line2D
+
+    ks = sorted({r["k"] for r in rows})
+    fig, axes = plt.subplots(1, len(ks), figsize=(3.4 * len(ks), 3.6),
+                             sharey=True, sharex=True)
+    if len(ks) == 1:
+        axes = [axes]
+    fig.patch.set_facecolor("#fcfcfb")
+    for ax, k in zip(axes, ks):
+        ax.set_facecolor("#fcfcfb")
+        for name, color, _ in _SERIES:
+            for canonical, ls in ((False, "-"), (True, "--")):
+                pts = sorted(
+                    (r["w"], r["ns_per_bp"]) for r in rows
+                    if r["k"] == k and _series_name(r) == name
+                    and bool(r.get("canonical")) == canonical)
+                if not pts:
+                    continue
+                ax.plot([p[0] for p in pts], [p[1] for p in pts], ls,
+                        color=color, lw=2, marker="o", ms=4)
+        ax.set_yscale("log", base=2)
+        ax.set_title(f"k = {k}", color="#0b0b0b", fontsize=11)
+        ax.set_xlabel("w", color="#52514e")
+        ax.grid(axis="y", which="major", color="#e4e3de", lw=0.8)
+        ax.grid(axis="y", which="minor", color="#f0efe9", lw=0.6)
+        ax.tick_params(colors="#52514e", labelsize=9)
+        for s in ax.spines.values():
+            s.set_color("#e4e3de")
+    axes[0].set_ylabel("time (ns/bp, log scale)", color="#52514e")
+    present = {_series_name(r) for r in rows}
+    handles = [Line2D([], [], color=c, lw=2, label=lbl)
+               for name, c, lbl in _SERIES if name in present]
+    handles += [Line2D([], [], color="#52514e", lw=2, ls="-", label="forward"),
+                Line2D([], [], color="#52514e", lw=2, ls="--", label="canonical")]
+    fig.legend(handles=handles, loc="upper center",
+               bbox_to_anchor=(0.5, 0.02), ncol=4, frameon=False,
+               fontsize=9, labelcolor="#0b0b0b")
+    out = os.path.join(outdir, "results-plot.png")
+    fig.savefig(out, bbox_inches="tight", dpi=200)
+    plt.close(fig)
+    return out
 
 
 if __name__ == "__main__":

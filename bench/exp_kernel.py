@@ -1,0 +1,90 @@
+"""Kernel-variant experiment: one config per process (dev tool).
+
+Usage: python bench/exp_kernel.py [--rb 8] [--c 4096] [--ablate none]
+       [--n 100000000] [--k 21] [--w 11] [--fwd]
+
+RB is a module constant read at trace time, so each RB variant must run
+in a fresh process (the jit cache key does not include it). Prints one
+JSON line with the measured ns/bp.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rb", type=int, default=8)
+    ap.add_argument("--c", type=int, default=4096)
+    ap.add_argument("--ablate", default="none",
+                    choices=["none", "decode", "hash", "sel"])
+    ap.add_argument("--n", type=int, default=10**8)
+    ap.add_argument("--k", type=int, default=21)
+    ap.add_argument("--w", type=int, default=11)
+    ap.add_argument("--fwd", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from simd_minimizers_tpu import native
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import fused as F
+    from simd_minimizers_tpu.ops.pipeline import hasher_jit_args
+
+    F.RB = args.rb  # before any trace
+    k, w, n, C = args.k, args.w, args.n, args.c
+    l = k + w - 1
+    BC = F.RB * C
+    nw = n - l + 1
+    G = -(-nw // BC)
+    rng = np.random.default_rng(0xBEEF)
+    codes = np.zeros(G * BC + F.TAIL, np.uint8)
+    codes[:n] = rng.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=not args.fwd)
+    key, table, mul_const = hasher_jit_args(h)
+    ablate = None if args.ablate == "none" else args.ablate
+    kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
+              hasher_key=key, C=C, G=G, input_mode="striped2", ablate=ablate)
+    call_args = (
+        jnp.asarray(native.pack_2bit_striped(codes, G, BC, *F.striped_geometry(C)[1:])),
+        jnp.zeros(F.TAIL, jnp.uint32),
+        jnp.asarray([nw, 0], np.int32),
+        jnp.asarray(table),
+        jnp.asarray([mul_const], np.uint32),
+    )
+    jax.block_until_ready(call_args)
+    t0 = time.perf_counter()
+    out = F._fused_call(*call_args, **kw)
+    int(out[2][0])
+    compile_s = time.perf_counter() - t0
+
+    def batch(m):
+        t = time.perf_counter()
+        for _ in range(m):
+            r = F._fused_call(*call_args, **kw)
+        int(r[2][0])
+        return time.perf_counter() - t
+
+    batch(1)
+    t_one = min(batch(1) for _ in range(3))
+    t_many = min(batch(6) for _ in range(3))
+    per_run = (t_many - t_one) / 5
+    ns = per_run * 1e9 / n
+    print(json.dumps({"rb": args.rb, "C": C, "ablate": args.ablate,
+                      "k": k, "w": w, "canonical": not args.fwd,
+                      "ns_per_bp": round(ns, 4),
+                      "compile_s": round(compile_s, 1)}))
+
+
+if __name__ == "__main__":
+    main()

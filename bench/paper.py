@@ -234,13 +234,16 @@ def bench_short(quick=False):
     for n in lens:
         l = k + w - 1
         nw = max(n - l + 1, 1)
-        G = max(1, -(-nw // (F.RB * F.DEF_C)))
+        # mirror backend.sketch's small-block dispatch
+        C = 1024 if nw <= F.RB * 1024 else F.DEF_C
+        BC = F.RB * C
+        G = max(1, -(-nw // BC))
         from simd_minimizers_tpu import native
-        codes = np.zeros(G * F.RB * F.DEF_C + F.TAIL, np.uint8)
+        codes = np.zeros(G * BC + F.TAIL, np.uint8)
         codes[:n] = rng.integers(0, 4, n, dtype=np.uint8)
         reps = 50 if n <= (1 << 17) else 10
         t = timed(fused_runner(jnp.asarray(native.pack_2bit_striped(
-            codes, G, F.RB * F.DEF_C, *F.striped_geometry(F.DEF_C)[1:])), nw, k, w, h, G=G), reps=reps)
+            codes, G, BC, *F.striped_geometry(C)[1:])), nw, k, w, h, C=C, G=G), reps=reps)
         rows.append({"len": n, "ns_per_bp": round(t * 1e9 / n, 3),
                      "us_per_seq": round(t * 1e6, 1)})
         print(f"[short] len={n}: {t*1e6:.0f} us/seq", file=sys.stderr)
@@ -296,6 +299,96 @@ def bench_batch(quick=False):
     return rows
 
 
+def bench_plot(quick=False, fused_k=19):
+    """(w, k) sweep vs carried baselines (reference plot(),
+    bench/src/bin/paper.rs:117-195; same grid: k in {5,11,19,31},
+    w in {1,3..15, 17,21,25,29, 33,41,49}, n = 10^7).
+
+    Rows: carried-avx2 baselines (medians of the reference's committed
+    results-plot.json), our XLA lane-matrix pipeline over the full grid
+    (device-resident, checksum-synced), and the fused Pallas kernel for
+    k = fused_k (each fused (k,w) is a multi-minute Mosaic compile, so
+    one k column covers the w-scaling story).
+    """
+    import json as _json
+
+    n = 10**7
+    ks = [5, 11, 19, 31]
+    ws = list(range(1, 16, 2)) + list(range(17, 32, 4)) + list(range(33, 50, 8))
+    if quick:
+        ks, ws = [19], [5, 11]
+    rows = []
+    ref_path = "/root/reference/bench/results-plot.json"
+    if os.path.exists(ref_path):
+        agg = {}
+        for r in _json.load(open(ref_path)):
+            agg.setdefault((r["name"], r["k"], r["w"]), []).append(r["time"])
+        for (name, k, w), ts in sorted(agg.items()):
+            rows.append({"name": name, "k": k, "w": w,
+                         "canonical": name.startswith("canonical"),
+                         "ns_per_bp": round(float(np.median(ts)), 4),
+                         "source": "carried-avx2"})
+    rng = np.random.default_rng(0x9107)
+    C = 4096
+    R = -(-(n - 4) // C)  # same R for every l in the grid (l <= 79 << C)
+    FLAT = P.flat_length(C, R, 79)
+    codes_np = rng.integers(0, 4, FLAT, dtype=np.uint8)
+    codes_dev = jnp.asarray(codes_np)
+
+    def xla_runner(k, w, canonical):
+        l = k + w - 1
+        h = NtHasher(k, canonical=canonical)
+        key, table, mul_const = hasher_jit_args(h)
+        FLATc = P.flat_length(C, R, l)
+
+        @jax.jit
+        def run(codes, table, mul_const):
+            th = P.TracedHasher("nt", k, canonical, h.rot_offset, table, mul_const)
+            out, counts, _ = P._pipeline_chunk_rows(
+                codes[:FLATc], jnp.int32(n), jnp.uint32(0),
+                jnp.uint32(P.INVALID_INT), None,
+                k, w, th, "minimizers", False, C, R)
+            return out.sum(dtype=jnp.uint32) ^ counts.sum().astype(jnp.uint32)
+
+        t_dev = jnp.asarray(np.asarray(hasher_jit_args(h)[1]))
+        m_dev = jnp.asarray(np.uint32(getattr(h, "mul_const", 0)))
+        return lambda: run(codes_dev, t_dev, m_dev)
+
+    for k in ks:
+        for w in ws:
+            for canonical in (False, True):
+                if canonical and (k + w - 1) % 2 == 0:
+                    continue
+                t = timed(xla_runner(k, w, canonical), reps=3)
+                ns = t * 1e9 / n
+                rows.append({"name": "smtpu-xla", "k": k, "w": w,
+                             "canonical": canonical,
+                             "ns_per_bp": round(ns, 4)})
+                print(f"[plot] xla k={k} w={w} canon={canonical}: "
+                      f"{ns:.4f} ns/bp", file=sys.stderr)
+
+    # fused column: k = fused_k, canonical, full w sweep
+    from simd_minimizers_tpu import native
+
+    k = fused_k
+    BC = F.RB * F.DEF_C
+    nw_max = n - k  # windows for the smallest l of this column
+    G = -(-nw_max // BC)
+    cbuf = np.zeros(G * BC + F.TAIL, np.uint8)
+    cbuf[:n] = codes_np[:n]
+    fdev = jnp.asarray(native.pack_2bit_striped(
+        cbuf, G, BC, *F.striped_geometry(F.DEF_C)[1:]))
+    for w in ws:
+        nw = n - (k + w - 1) + 1
+        t = timed(fused_runner(fdev, nw, k, w, NtHasher(k, canonical=True),
+                               G=G), reps=3)
+        ns = t * 1e9 / n
+        rows.append({"name": "smtpu-fused", "k": k, "w": w, "canonical": True,
+                     "ns_per_bp": round(ns, 4)})
+        print(f"[plot] fused k={k} w={w}: {ns:.4f} ns/bp", file=sys.stderr)
+    return rows
+
+
 def bench_density():
     k, w = 21, 11
     rng = np.random.default_rng(9)
@@ -331,6 +424,7 @@ def main():
         ("incremental", "incremental", lambda: bench_incremental(args.n, args.quick)),
         ("short", "short", lambda: bench_short(args.quick)),
         ("batch", "batch", lambda: bench_batch(args.quick)),
+        ("plot", "plot", lambda: bench_plot(args.quick)),
         ("human_genome", "human_genome", lambda: bench_human_genome(args.quick)),
     ]
     for key, name, fn in experiments:

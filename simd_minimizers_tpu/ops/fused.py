@@ -312,7 +312,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         total = state[0]
         W = (total // TAIL) * TAIL
         rem = total - W
-        Wdma = jnp.minimum(W, W_MAX)  # clamp only the append offsets
+        # clamp only the append offsets; min BEFORE the *TAIL so Mosaic can
+        # still prove the DMA offset is tile-aligned
+        Wdma = jnp.minimum(total // TAIL, W_MAX // TAIL) * TAIL
 
         # ---- double-buffered input DMA ----
         # packed_in: striped 2-bit words (16 chars/word, char t of word m at
