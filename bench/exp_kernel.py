@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--k", type=int, default=21)
     ap.add_argument("--w", type=int, default=11)
     ap.add_argument("--fwd", action="store_true")
+    ap.add_argument("--input", default="striped2",
+                    choices=["striped2", "striped2r"])
     args = ap.parse_args()
 
     import jax
@@ -48,15 +50,19 @@ def main():
     nw = n - l + 1
     G = -(-nw // BC)
     rng = np.random.default_rng(0xBEEF)
-    codes = np.zeros(G * BC + F.TAIL, np.uint8)
+    PADH = F.padh_for(k + w - 1)
+    need = max(G * BC + F.TAIL, F.rowstriped_need_chars(G, C, PADH))
+    codes = np.zeros(need, np.uint8)
     codes[:n] = rng.integers(0, 4, n, dtype=np.uint8)
     h = NtHasher(k, canonical=not args.fwd)
     key, table, mul_const = hasher_jit_args(h)
     ablate = None if args.ablate == "none" else args.ablate
     kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
-              hasher_key=key, C=C, G=G, input_mode="striped2", ablate=ablate)
+              hasher_key=key, C=C, G=G, input_mode=args.input, ablate=ablate)
+    words = (F.pack_rowstriped(codes, G, C, PADH) if args.input == "striped2r"
+             else native.pack_2bit_striped(codes, G, BC, *F.striped_geometry(C)[1:]))
     call_args = (
-        jnp.asarray(native.pack_2bit_striped(codes, G, BC, *F.striped_geometry(C)[1:])),
+        jnp.asarray(words),
         jnp.zeros(F.TAIL, jnp.uint32),
         jnp.asarray([nw, 0], np.int32),
         jnp.asarray(table),
@@ -80,7 +86,8 @@ def main():
     t_many = min(batch(6) for _ in range(3))
     per_run = (t_many - t_one) / 5
     ns = per_run * 1e9 / n
-    print(json.dumps({"rb": args.rb, "C": C, "ablate": args.ablate,
+    print(json.dumps({"rb": args.rb, "C": C, "input": args.input,
+                      "ablate": args.ablate,
                       "k": k, "w": w, "canonical": not args.fwd,
                       "ns_per_bp": round(ns, 4),
                       "compile_s": round(compile_s, 1)}))

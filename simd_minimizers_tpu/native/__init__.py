@@ -51,6 +51,9 @@ def _build_and_load():
                                           ctypes.c_int64, ctypes.c_int64,
                                           ctypes.c_int64, ctypes.c_void_p]
         lib.pack_bytes_striped.argtypes = lib.pack_2bit_striped.argtypes
+        lib.pack_2bit_rowstriped.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         lib.fasta_scan.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                    ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_int64]
@@ -156,6 +159,27 @@ def fasta_scan(buf: np.ndarray, max_records: int = 1 << 20):
 
 def available() -> bool:
     return _build_and_load() is not None
+
+
+def pack_2bit_rowstriped(codes: np.ndarray, nblocks: int, bc: int, c0: int,
+                         sp: int, spw: int, spw_pad: int) -> np.ndarray:
+    """Row-striped 2-bit packing: (8, spw_pad) words per block, row r of
+    block b covering chars [b*bc + r*c0, +sp) striped over 16 phases."""
+    lib = _build_and_load()
+    out = np.zeros(nblocks * 8 * spw_pad, np.uint32)
+    if lib is not None and nblocks:
+        codes = np.ascontiguousarray(codes)
+        lib.pack_2bit_rowstriped(_ptr(codes), nblocks, bc, c0, sp, spw,
+                                 spw_pad, _ptr(out))
+        return out
+    out3 = out.reshape(nblocks, 8, spw_pad)
+    for b in range(nblocks):
+        for r in range(8):
+            base = b * bc + r * c0
+            for t in range(16):
+                seg = codes[base + t * spw : base + t * spw + spw]
+                out3[b, r, :spw] |= (seg.astype(np.uint32) & 3) << np.uint32(2 * t)
+    return out
 
 
 def pack_bytes_striped(codes: np.ndarray, nblocks: int, bc: int,

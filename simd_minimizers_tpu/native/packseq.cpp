@@ -90,6 +90,30 @@ void pack_bytes_striped(const uint8_t* codes, int64_t nblocks, int64_t bc,
     }
 }
 
+// Row-striped 2-bit packing: each block holds RB=8 lane rows of SP chars
+// (rows overlap by the halo; the duplication is the price of a fully
+// (8,lane)-shaped on-device decode). Block b, row r covers chars
+// [b*bc + r*c0, +sp); word (r, m) packs chars {t*spw + m : t < 16} of
+// that row, char t at bits 2t. Output: nblocks * 8 * spw_pad words,
+// row-major (8, spw_pad) per block.
+void pack_2bit_rowstriped(const uint8_t* codes, int64_t nblocks, int64_t bc,
+                          int64_t c0, int64_t sp, int64_t spw,
+                          int64_t spw_pad, uint32_t* out) {
+    for (int64_t b = 0; b < nblocks; b++) {
+        for (int r = 0; r < 8; r++) {
+            uint32_t* ob = out + (b * 8 + r) * spw_pad;
+            for (int64_t m = 0; m < spw_pad; m++) ob[m] = 0;
+            const uint8_t* base = codes + b * bc + r * c0;
+            for (int t = 0; t < 16; t++) {
+                const uint8_t* src = base + (int64_t)t * spw;
+                const uint32_t sh = 2 * t;
+                for (int64_t m = 0; m < spw; m++)
+                    ob[m] |= ((uint32_t)src[m] & 3u) << sh;
+            }
+        }
+    }
+}
+
 // One-pass FASTA scan: concatenates record sequences into codes/amb,
 // recording record start offsets. Handles \r\n, multi-line records,
 // lowercase, and arbitrary IUPAC letters (flagged ambiguous).

@@ -120,11 +120,17 @@ def _row_shift_down(x, q):
 
 
 def _roll_flat_left(x, d, C):
-    """Roll (RB, C) left by d in row-major flat order (wrap region is dead)."""
-    if d % C == 0:
-        return _row_shift_down(x, d // C)
+    """Roll (RB, C) left by d in row-major flat order (wrap region is dead).
+
+    General d (non-pow2 C reaches d that is neither < C nor a multiple of
+    C): shift whole rows by d // C, then rotate columns by d % C."""
+    q, rr = divmod(d, C)
+    if q:
+        x = _row_shift_down(x, q)
+    if rr == 0:
+        return x
     down = _row_shift_down(x, 1)
-    return jnp.concatenate([x[:, d:], down[:, :d]], axis=1)
+    return jnp.concatenate([x[:, rr:], down[:, :rr]], axis=1)
 
 
 def _flat_cumsum(keep, RB_, C):
@@ -168,6 +174,28 @@ def _butterfly(planes, shift, C):
         s = jnp.where(take, ss - d, jnp.where(hole, 0, s))
         d *= 2
     return planes
+
+
+def _butterfly_packed(x, C, total):
+    """Single-plane left-pack: x = (shift << 16) | local_value, 16 bits each.
+
+    When the block-local value range (BC + l) and the butterfly width BCP
+    both fit 16 bits (C <= 4096 with RB = 8: BCP = 36864 < 65536), the
+    value and its remaining shift ride ONE u32 plane — half the planes
+    and shared take/hole logic, ~2x cheaper than the generic two-plane
+    butterfly. Dead slots carry 0xFFFF (shift 0); holes are refilled with
+    it. The shift field is adjusted by multiply/subtract only (Mosaic
+    miscompiles large vector left-shifts on offset layouts).
+    """
+    DEAD = U32(0xFFFF)
+    d = 1
+    while d < total:
+        xs = _roll_flat_left(x, d, C)
+        take = ((xs >> U32(16)) & U32(d)) != 0
+        hole = (((x >> U32(16)) & U32(d)) != 0) & (~take)
+        x = jnp.where(take, xs - U32(d << 16), jnp.where(hole, DEAD, x))
+        d *= 2
+    return x
 
 
 def _pack_fold(cs, J, msb):
@@ -267,6 +295,17 @@ def striped8_geometry(C: int) -> tuple[int, int, int]:
     return SLAB, SLABW, SLABW_PAD
 
 
+def rowstriped_geometry(C: int, PADH: int) -> tuple[int, int, int]:
+    """(SP chars/row, SPW words/row, SPW_PAD padded words/row): row-striped
+    2-bit input — each lane row's span packed separately so the on-device
+    decode runs fully in (RB, lanes) layout. PADH <= 129-char halos give a
+    (k,w)-independent layout."""
+    SP = C + PADH
+    SPW = -(-SP // 16)
+    SPW_PAD = -(-SPW // 128) * 128
+    return SP, SPW, SPW_PAD
+
+
 def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                  C, G, PADH, in_mode="striped2", fold_ascii=False, ablate=None,
                  out_cap=None):
@@ -276,8 +315,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     SP = C + PADH  # columns per row (>= C + l - 1)
     SLAB, SLABW, SLABW_PAD = striped_geometry(C)  # chars staged per block
     _, SLABW8, SLABW8_PAD = striped8_geometry(C)
+    _, SPW, SPW_PAD = rowstriped_geometry(C, PADH)
     assert PADH <= TAIL
-    assert in_mode in ("striped2", "striped8", "i32")
+    assert in_mode in ("striped2", "striped2r", "striped8", "i32")
     emit_idx = mode == MODE_SUPERKMERS
     # Reduced output buffers (huge runs where worst-case = #windows would
     # dominate HBM): writes clamp to [0, out_cap - BCP], so an overflow
@@ -327,6 +367,8 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         def in_copy(blk, slot_ref, slot):
             if in_mode == "striped2":
                 src = codes_hbm.at[pl.ds(blk * SLABW_PAD, SLABW_PAD)]
+            elif in_mode == "striped2r":
+                src = codes_hbm.at[pl.ds(blk * (RB * SPW_PAD), RB * SPW_PAD)]
             elif in_mode == "striped8":
                 src = codes_hbm.at[pl.ds(blk * SLABW8_PAD, SLABW8_PAD)]
             else:
@@ -370,6 +412,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 if in_mode == "striped2":
                     ap = pltpu.make_async_copy(
                         amb_hbm.at[pl.ds(g * SLABW_PAD, SLABW_PAD)], amb_slab, sem2)
+                elif in_mode == "striped2r":
+                    ap = pltpu.make_async_copy(
+                        amb_hbm.at[pl.ds(g * (RB * SPW_PAD), RB * SPW_PAD)],
+                        amb_slab, sem2)
                 elif in_mode == "striped8":
                     ap = pltpu.make_async_copy(
                         amb_hbm.at[pl.ds(g * SLABW8_PAD, SLABW8_PAD)], amb_slab, sem2)
@@ -391,6 +437,14 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
 
             # ---- lane matrix (RB, SP): row r = chars[r*C : r*C + SP] ----
             def lane_matrix_from(val, fold=False):
+                if in_mode == "striped2r":
+                    # fully (RB, lanes)-shaped decode: no single-sublane
+                    # intermediate, no per-row slice+concat
+                    ww = val.reshape(RB, SPW_PAD)[:, :SPW]
+                    X = pltpu.repeat(ww, 16, axis=1)  # X[:, t*SPW+m] = ww[:, m]
+                    t = jax.lax.broadcasted_iota(I32, (RB, 16 * SPW), 1) // SPW
+                    chars = (X >> (U32(2) * t.astype(U32))) & U32(3)
+                    return chars[:, :SP]
                 if in_mode == "striped2":
                     ww = val.reshape(1, SLABW_PAD)[:, :SLABW]
                     X = pltpu.repeat(ww, 16, axis=1)  # X[:, t*SLABW + m] = word m
@@ -499,7 +553,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
 
             # ---- compact: prepend carried tail as row 0, rank, butterfly ----
             # Row 0 holds the rem not-yet-tile-aligned output elements; with
-            # keep=1 they get rank 1..rem and shift 0, so the generic butterfly
+            # keep=1 they get rank 1..rem and shift 0, so the butterfly
             # re-packs them at the front and the whole result lands at W.
             jt = jax.lax.broadcasted_iota(I32, (1, C), 1)
             keep_t = jt < rem
@@ -515,19 +569,46 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             flat_i = rf * C + jf
             shift = jnp.where(keep_all, flat_i - (rank - 1), 0)
 
-            def plane(tail, vals):
-                trow = tail[:].reshape(1, TAIL)
+            # Single-plane packed compaction whenever block-local values
+            # (< BC + l) and shifts (< BCP) both fit 16 bits (C <= 4096 at
+            # RB = 8): ~2x cheaper than the generic two-plane butterfly.
+            # The carried tail can hold arbitrary u32s, so it does not ride
+            # the packed plane — its slots still count in rank (real
+            # elements land from position rem on) and are overlaid after.
+            packed_compact = (not emit_idx) and BC + 8192 <= (1 << 16) \
+                and BCP <= (1 << 16)
+            if packed_compact:
+                assert l < 8192
+                base_off = jnp.int32(base).astype(U32) + off
+                local = jnp.concatenate(
+                    [jnp.zeros((1, C), U32), vals0 - base_off], axis=0)
+                keep_real = keep_all & (rf > 0)
+                xplane = jnp.where(
+                    keep_real,
+                    (local & U32(0xFFFF)) | (shift.astype(U32) * U32(1 << 16)),
+                    U32(0xFFFF))
+                xout = _butterfly_packed(xplane, C, BCP)
+                vals_g = (xout & U32(0xFFFF)) + base_off
+                trow = tailbuf[:].reshape(1, TAIL)
                 if C > TAIL:
                     trow = jnp.concatenate(
-                        [trow, jnp.full((1, C - TAIL), INVALID, U32)], axis=1
-                    )
-                full = jnp.concatenate([trow, vals], axis=0)
-                return jnp.where(keep_all, full, INVALID)
+                        [trow, jnp.full((1, C - TAIL), INVALID, U32)], axis=1)
+                row0 = jnp.where(jt < rem, trow, vals_g[:1])
+                packed = [jnp.concatenate([row0, vals_g[1:]], axis=0)]
+            else:
+                def plane(tail, vals):
+                    trow = tail[:].reshape(1, TAIL)
+                    if C > TAIL:
+                        trow = jnp.concatenate(
+                            [trow, jnp.full((1, C - TAIL), INVALID, U32)], axis=1
+                        )
+                    full = jnp.concatenate([trow, vals], axis=0)
+                    return jnp.where(keep_all, full, INVALID)
 
-            planes = [plane(tailbuf, vals0)]
-            if emit_idx:
-                planes.append(plane(tailbuf2, gw))
-            packed = _butterfly(planes, shift, C)
+                planes = [plane(tailbuf, vals0)]
+                if emit_idx:
+                    planes.append(plane(tailbuf2, gw))
+                packed = _butterfly(planes, shift, C)
 
             # ---- aligned append: write the full packed block at W ----
             if emit_idx:
@@ -624,6 +705,8 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
     def _slab_scratch(im, C, SLAB):
         if im == "striped2":
             return pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32)
+        if im == "striped2r":
+            return pltpu.VMEM((RB * rowstriped_geometry(C, PADH)[2],), jnp.uint32)
         if im == "striped8":
             return pltpu.VMEM((striped8_geometry(C)[2],), jnp.uint32)
         return pltpu.VMEM((SLAB,), jnp.int32)
@@ -677,6 +760,25 @@ _fused_call = jax.jit(
                      "interpret", "packed_input", "input_mode", "fold_ascii",
                      "ablate", "out_cap"),
 )
+
+
+def padh_for(l: int) -> int:
+    return max(128, -(-(l - 1) // 128) * 128)
+
+
+def rowstriped_need_chars(G: int, C: int, PADH: int) -> int:
+    """Input chars the row-striped packer reads for a G-block call."""
+    _, SPW, _ = rowstriped_geometry(C, PADH)
+    return (G - 1) * RB * C + (RB - 1) * C + 16 * SPW
+
+
+def pack_rowstriped(codes_padded: np.ndarray, G: int, C: int, PADH: int) -> np.ndarray:
+    """Host-side row-striped packing for a G-block fused call."""
+    from .. import native
+
+    SP, SPW, SPW_PAD = rowstriped_geometry(C, PADH)
+    assert codes_padded.size >= rowstriped_need_chars(G, C, PADH)
+    return native.pack_2bit_rowstriped(codes_padded, G, RB * C, C, SP, SPW, SPW_PAD)
 
 
 def fused_sketch(
