@@ -56,20 +56,20 @@ def main() -> None:
 
     rng = np.random.default_rng(0xBEEF)
     t0 = time.perf_counter()
-    codes = np.zeros(G * BC + F.TAIL, np.uint8)
+    PADH = F.padh_for(l)
+    codes = np.zeros(F.rowstriped_need_chars(G, C, PADH), np.uint8)
     codes[:n] = rng.integers(0, 4, n, dtype=np.uint8)
     hasher = NtHasher(k, canonical=True)
     key, table, mul_const = hasher_jit_args(hasher)
     args = (
-        jnp.asarray(native.pack_2bit_striped(
-            codes, G, BC, *F.striped_geometry(C)[1:])),  # striped 2-bit words
+        jnp.asarray(F.pack_rowstriped(codes, G, C, PADH)),  # row-striped words
         jnp.zeros(F.TAIL, jnp.uint32),
         jnp.asarray([nw, 0], np.int32),
         jnp.asarray(table),
         jnp.asarray([mul_const], np.uint32),
     )
     kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
-              hasher_key=key, C=C, G=G, packed_input=True)
+              hasher_key=key, C=C, G=G, input_mode="striped2r")
     jax.block_until_ready(args)
     t1 = time.perf_counter()
     print(f"[bench] gen+transfer: {t1 - t0:.2f}s", file=sys.stderr)

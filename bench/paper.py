@@ -71,7 +71,7 @@ def timed(fn, reps=5):
 
 
 def fused_runner(packed_dev, nw, k, w, hasher, C=F.DEF_C, G=None,
-                 input_mode="striped2", fold_ascii=False):
+                 input_mode="striped2r", fold_ascii=False):
     """Times the production path: on-device decode + fused kernel."""
     key, table, mul_const = hasher_jit_args(hasher)
     args = (packed_dev, jnp.zeros(F.TAIL, jnp.uint32), jnp.asarray([nw, 0], np.int32),
@@ -96,11 +96,11 @@ def bench_external(n, quick=False):
         nw = n - l + 1
         BC = F.RB * F.DEF_C
         G = -(-nw // BC)
-        codes = np.zeros(G * BC + F.TAIL, np.uint8)
+        PADH = F.padh_for(l)
+        codes = np.zeros(F.rowstriped_need_chars(G, F.DEF_C, PADH), np.uint8)
         codes[:n] = base
         from simd_minimizers_tpu import native
-        codes_dev = jnp.asarray(native.pack_2bit_striped(
-            codes, G, BC, *F.striped_geometry(F.DEF_C)[1:]))
+        codes_dev = jnp.asarray(F.pack_rowstriped(codes, G, F.DEF_C, PADH))
         for canonical in (False, True):
             hashers = {"nt": NtHasher(k, canonical=canonical)}
             if not quick:
@@ -213,11 +213,11 @@ def bench_incremental(n, quick=False):
     nw = n - l + 1
     BC = F.RB * F.DEF_C
     G = -(-nw // BC)
-    from simd_minimizers_tpu import native
-    cfull = np.zeros(G * BC + F.TAIL, np.uint8)
+    PADH = F.padh_for(l)
+    cfull = np.zeros(F.rowstriped_need_chars(G, F.DEF_C, PADH), np.uint8)
     cfull[:n] = codes[:n]
-    t = timed(fused_runner(jnp.asarray(native.pack_2bit_striped(
-        cfull, G, BC, *F.striped_geometry(F.DEF_C)[1:])), nw, k, w, h, G=G))
+    t = timed(fused_runner(jnp.asarray(F.pack_rowstriped(cfull, G, F.DEF_C, PADH)),
+                           nw, k, w, h, G=G))
     ns = t * 1e9 / n
     rows.append({"stage": "fused_total", "ns_per_bp": round(ns, 4), "backend": "pallas"})
     print(f"[incremental] fused_total: {ns:.4f} ns/bp", file=sys.stderr)
@@ -238,12 +238,12 @@ def bench_short(quick=False):
         C = 1024 if nw <= F.RB * 1024 else F.DEF_C
         BC = F.RB * C
         G = max(1, -(-nw // BC))
-        from simd_minimizers_tpu import native
-        codes = np.zeros(G * BC + F.TAIL, np.uint8)
+        PADH = F.padh_for(l)
+        codes = np.zeros(F.rowstriped_need_chars(G, C, PADH), np.uint8)
         codes[:n] = rng.integers(0, 4, n, dtype=np.uint8)
         reps = 50 if n <= (1 << 17) else 10
-        t = timed(fused_runner(jnp.asarray(native.pack_2bit_striped(
-            codes, G, BC, *F.striped_geometry(C)[1:])), nw, k, w, h, C=C, G=G), reps=reps)
+        t = timed(fused_runner(jnp.asarray(F.pack_rowstriped(codes, G, C, PADH)),
+                               nw, k, w, h, C=C, G=G), reps=reps)
         rows.append({"len": n, "ns_per_bp": round(t * 1e9 / n, 3),
                      "us_per_seq": round(t * 1e6, 1)})
         print(f"[short] len={n}: {t*1e6:.0f} us/seq", file=sys.stderr)
@@ -275,16 +275,16 @@ def bench_batch(quick=False):
         C = F.DEF_C
         BC = F.RB * C
         G = BT._bucket_pow2(-(-nw // BC))
-        need = G * BC + F.TAIL
+        PADH = F.padh_for(k + w - 1)
+        need = max(G * BC + F.TAIL, F.rowstriped_need_chars(G, C, PADH))
         reads = list(rng.integers(0, 4, (B, L), dtype=np.uint8))
         codes, amb = BT._fill_slots(reads, None, stride, need)
-        geo = F.striped_geometry(C)[1:]
-        args = (jnp.asarray(native.pack_2bit_striped(codes, G, BC, *geo)),
-                jnp.asarray(native.pack_2bit_striped(amb, G, BC, *geo)),
+        args = (jnp.asarray(F.pack_rowstriped(codes, G, C, PADH)),
+                jnp.asarray(F.pack_rowstriped(amb, G, C, PADH)),
                 jnp.asarray([nw, 0], np.int32), jnp.asarray(table),
                 jnp.asarray([mul_const], np.uint32))
         kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=True,
-                  hasher_key=key, C=C, G=G, packed_input=True)
+                  hasher_key=key, C=C, G=G, input_mode="striped2r")
 
         def run():
             return F._fused_call(*args, **kw)[2]
@@ -367,17 +367,15 @@ def bench_plot(quick=False, fused_k=19):
                 print(f"[plot] xla k={k} w={w} canon={canonical}: "
                       f"{ns:.4f} ns/bp", file=sys.stderr)
 
-    # fused column: k = fused_k, canonical, full w sweep
-    from simd_minimizers_tpu import native
-
+    # fused column: k = fused_k, canonical, full w sweep (PADH = 128 for
+    # every l <= 129, so one packed array serves the whole column)
     k = fused_k
     BC = F.RB * F.DEF_C
     nw_max = n - k  # windows for the smallest l of this column
     G = -(-nw_max // BC)
-    cbuf = np.zeros(G * BC + F.TAIL, np.uint8)
+    cbuf = np.zeros(F.rowstriped_need_chars(G, F.DEF_C, 128), np.uint8)
     cbuf[:n] = codes_np[:n]
-    fdev = jnp.asarray(native.pack_2bit_striped(
-        cbuf, G, BC, *F.striped_geometry(F.DEF_C)[1:]))
+    fdev = jnp.asarray(F.pack_rowstriped(cbuf, G, F.DEF_C, 128))
     for w in ws:
         nw = n - (k + w - 1) + 1
         t = timed(fused_runner(fdev, nw, k, w, NtHasher(k, canonical=True),
@@ -471,9 +469,11 @@ def bench_human_genome(quick=False):
     ncalls = -(-nw_tot // ((1 << 31) - (1 << 24)))
     nw_call = -(-nw_tot // ncalls)
     G = -(-nw_call // BC)
-    _, SLABW, SLABW_PAD = F.striped_geometry(C)
+    PADH = F.padh_for(l)
+    _, SPW, SPW_PAD = F.rowstriped_geometry(C, PADH)
     key_h, table, mulc = hasher_jit_args(h)
-    words = jax.random.bits(jax.random.key(0), (G * SLABW_PAD,), dtype=jnp.uint32)
+    words = jax.random.bits(jax.random.key(0), (G * F.RB, SPW_PAD),
+                            dtype=jnp.uint32)
     amb = jnp.zeros(F.TAIL, jnp.uint32)
     tab = jnp.asarray(table)
     mc = jnp.asarray([mulc], np.uint32)
@@ -484,7 +484,7 @@ def bench_human_genome(quick=False):
         return F._fused_call(
             words, amb, jnp.asarray([nw_loc, off_bits], np.int32), tab, mc,
             k=k, w=w, mode="minimizers", skip_ambiguous=False,
-            hasher_key=key_h, C=C, G=G, input_mode="striped2",
+            hasher_key=key_h, C=C, G=G, input_mode="striped2r",
             out_cap=out_cap)
 
     spans = []

@@ -74,23 +74,21 @@ def _fill_slots(reads, ambs, stride: int, need: int):
     return codes, amb
 
 
-def _launch_fused(codes, amb, nw, k, w, hasher, mode, C, G, interpret):
+def _launch_fused(codes, amb, nw, k, w, hasher, mode, C, G, interpret, l):
     import jax.numpy as jnp
 
-    from .. import native
     from . import fused
 
-    BC = fused.RB * C
-    _, SLABW, SLABW_PAD = fused.striped_geometry(C)
+    PADH = fused.padh_for(l)
     key, table, mul_const = hasher_jit_args(hasher)
-    packed = native.pack_2bit_striped(codes, G, BC, SLABW, SLABW_PAD)
-    amb_packed = native.pack_2bit_striped(amb, G, BC, SLABW, SLABW_PAD)
+    packed = fused.pack_rowstriped(codes, G, C, PADH)
+    amb_packed = fused.pack_rowstriped(amb, G, C, PADH)
     out, idx, count = fused._fused_call(
         jnp.asarray(packed), jnp.asarray(amb_packed),
         jnp.asarray([nw, 0], np.int32),
         jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
         k=k, w=w, mode=mode, skip_ambiguous=True, hasher_key=key,
-        C=C, G=G, interpret=interpret, packed_input=True,
+        C=C, G=G, interpret=interpret, input_mode="striped2r",
     )
     cnt = int(count[0])
     out = np.asarray(out[: max(cnt, 1)][:cnt])
@@ -185,10 +183,11 @@ def sketch_batch(
                 Cg = Cdef or fused.DEF_C
                 BC = fused.RB * Cg
                 G = _bucket_pow2(-(-nw // BC))
-                need = G * BC + fused.TAIL
+                need = max(G * BC + fused.TAIL,
+                           fused.rowstriped_need_chars(G, Cg, fused.padh_for(l)))
                 codes, amb = _fill_slots(sub_reads, sub_amb, stride, need)
                 out, idx = _launch_fused(codes, amb, nw, k, w, hasher, mode,
-                                         Cg, G, interpret)
+                                         Cg, G, interpret, l)
             else:
                 codes, amb = _fill_slots(sub_reads, sub_amb, stride, nw + l)
                 out, idx = _launch_pipeline(codes, amb, nw, k, w, hasher, mode)

@@ -368,7 +368,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             if in_mode == "striped2":
                 src = codes_hbm.at[pl.ds(blk * SLABW_PAD, SLABW_PAD)]
             elif in_mode == "striped2r":
-                src = codes_hbm.at[pl.ds(blk * (RB * SPW_PAD), RB * SPW_PAD)]
+                # 2-D input (G*RB, SPW_PAD): row offsets are multiples of
+                # RB=8, so the (8,128) tiling stays provably aligned
+                src = codes_hbm.at[pl.ds(blk * RB, RB), :]
             elif in_mode == "striped8":
                 src = codes_hbm.at[pl.ds(blk * SLABW8_PAD, SLABW8_PAD)]
             else:
@@ -414,8 +416,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         amb_hbm.at[pl.ds(g * SLABW_PAD, SLABW_PAD)], amb_slab, sem2)
                 elif in_mode == "striped2r":
                     ap = pltpu.make_async_copy(
-                        amb_hbm.at[pl.ds(g * (RB * SPW_PAD), RB * SPW_PAD)],
-                        amb_slab, sem2)
+                        amb_hbm.at[pl.ds(g * RB, RB), :], amb_slab, sem2)
                 elif in_mode == "striped8":
                     ap = pltpu.make_async_copy(
                         amb_hbm.at[pl.ds(g * SLABW8_PAD, SLABW8_PAD)], amb_slab, sem2)
@@ -440,7 +441,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 if in_mode == "striped2r":
                     # fully (RB, lanes)-shaped decode: no single-sublane
                     # intermediate, no per-row slice+concat
-                    ww = val.reshape(RB, SPW_PAD)[:, :SPW]
+                    ww = val[:, :SPW]
                     X = pltpu.repeat(ww, 16, axis=1)  # X[:, t*SPW+m] = ww[:, m]
                     t = jax.lax.broadcasted_iota(I32, (RB, 16 * SPW), 1) // SPW
                     chars = (X >> (U32(2) * t.astype(U32))) & U32(3)
@@ -706,7 +707,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
         if im == "striped2":
             return pltpu.VMEM((striped_geometry(C)[2],), jnp.uint32)
         if im == "striped2r":
-            return pltpu.VMEM((RB * rowstriped_geometry(C, PADH)[2],), jnp.uint32)
+            return pltpu.VMEM((RB, rowstriped_geometry(C, PADH)[2]), jnp.uint32)
         if im == "striped8":
             return pltpu.VMEM((striped8_geometry(C)[2],), jnp.uint32)
         return pltpu.VMEM((SLAB,), jnp.int32)
@@ -778,7 +779,8 @@ def pack_rowstriped(codes_padded: np.ndarray, G: int, C: int, PADH: int) -> np.n
 
     SP, SPW, SPW_PAD = rowstriped_geometry(C, PADH)
     assert codes_padded.size >= rowstriped_need_chars(G, C, PADH)
-    return native.pack_2bit_rowstriped(codes_padded, G, RB * C, C, SP, SPW, SPW_PAD)
+    w = native.pack_2bit_rowstriped(codes_padded, G, RB * C, C, SP, SPW, SPW_PAD)
+    return w.reshape(G * RB, SPW_PAD)
 
 
 def fused_sketch(
@@ -811,30 +813,36 @@ def fused_sketch(
     nw = n - l + 1
     BC = RB * C
     G = max(G or 1, -(-nw // BC))
-    # DNA codes ship 2-bit packed (0.25 B/bp); general ASCII text (&[u8],
-    # values > 3) ships byte-striped (1 B/bp). Both are decoded to the
-    # lane matrix in VMEM via tile-repeat + shift (plain u8 HBM slices
-    # don't tile-align for the DMA engine).
+    # DNA codes ship 2-bit row-striped (0.375 B/bp incl. halo duplication,
+    # fully (RB, lane)-shaped on-device decode); general ASCII text
+    # (&[u8], values > 3) ships byte-striped (1 B/bp). Both are decoded to
+    # the lane matrix in VMEM via tile-repeat + shift (plain u8 HBM
+    # slices don't tile-align for the DMA engine).
     from .. import native
 
     is_2bit = codes_np.size == 0 or int(codes_np.max()) <= 3
-    need = G * BC + TAIL
     skip_ambiguous = ambiguous_np is not None
     if is_2bit:
-        input_mode = "striped2"
-        _, SLABW, SLABW_PAD = striped_geometry(C)
-        pack = native.pack_2bit_striped
+        input_mode = "striped2r"
+        PADH = padh_for(l)
+        need = max(G * BC + TAIL, rowstriped_need_chars(G, C, PADH))
+
+        def pack(buf):
+            return pack_rowstriped(buf, G, C, PADH)
     else:
         input_mode = "striped8"
         _, SLABW, SLABW_PAD = striped8_geometry(C)
-        pack = native.pack_bytes_striped
+        need = G * BC + TAIL
+
+        def pack(buf):
+            return native.pack_bytes_striped(buf, G, BC, SLABW, SLABW_PAD)
     codes = np.zeros(need, np.uint8)
     codes[:n] = codes_np
-    codes_dev = jnp.asarray(pack(codes, G, BC, SLABW, SLABW_PAD))
+    codes_dev = jnp.asarray(pack(codes))
     if skip_ambiguous:
         amb = np.zeros(need, np.uint8)
         amb[:n] = ambiguous_np
-        amb_dev = jnp.asarray(pack(amb, G, BC, SLABW, SLABW_PAD))
+        amb_dev = jnp.asarray(pack(amb))
     else:
         amb_dev = jnp.zeros(TAIL, jnp.uint32)
     key, table, mul_const = hasher_jit_args(hasher)

@@ -190,7 +190,7 @@ def _jit_fused_sharded(words, amb_words, nws, table, mul_const,
             table, mul_const,
             k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous,
             hasher_key=hasher_key, C=C, G=G, interpret=interpret,
-            packed_input=True,
+            input_mode="striped2r",
         )
         return out[None], idx[None], count[None]
 
@@ -227,7 +227,6 @@ def fused_sharded_sketch(
     CPU mesh for testing.
     """
     from ..ops import fused
-    from .. import native
     from .multihost import merge_adjacent_shards
 
     mesh = mesh or default_mesh()
@@ -247,11 +246,13 @@ def fused_sharded_sketch(
     per_dev = -(-nw // ndev)
     BC = fused.RB * C
     G = max(1, -(-per_dev // BC))
-    SLAB, SLABW, SLABW_PAD = fused.striped_geometry(C)
-    need = G * BC + fused.TAIL
-    words = np.zeros((ndev, G * SLABW_PAD), np.uint32)
+    PADH = fused.padh_for(l)
+    _, SPW, SPW_PAD = fused.rowstriped_geometry(C, PADH)
+    need = fused.rowstriped_need_chars(G, C, PADH)
+    words = np.zeros((ndev, G * fused.RB, SPW_PAD), np.uint32)
     amb_words = np.zeros(
-        (ndev, G * SLABW_PAD if skip_ambiguous else fused.TAIL), np.uint32)
+        (ndev, G * fused.RB, SPW_PAD) if skip_ambiguous
+        else (ndev, fused.TAIL), np.uint32)
     nws = np.zeros((ndev, 2), np.int32)
     for d in range(ndev):
         s = d * per_dev
@@ -261,11 +262,11 @@ def fused_sharded_sketch(
         chars_end = min(e - 1 + l, n)
         span = np.zeros(need, np.uint8)
         span[: chars_end - s] = codes_np[s:chars_end]
-        words[d] = native.pack_2bit_striped(span, G, BC, SLABW, SLABW_PAD)
+        words[d] = fused.pack_rowstriped(span, G, C, PADH)
         if skip_ambiguous:
             aspan = np.zeros(need, np.uint8)
             aspan[: chars_end - s] = ambiguous_np[s:chars_end]
-            amb_words[d] = native.pack_2bit_striped(aspan, G, BC, SLABW, SLABW_PAD)
+            amb_words[d] = fused.pack_rowstriped(aspan, G, C, PADH)
         nws[d] = (e - s, np.asarray(np.uint32(s)).view(np.int32))
     key, table, mul_const = hasher_jit_args(hasher)
     out, idx, count = _jit_fused_sharded(
