@@ -11,8 +11,9 @@ scratch, exactly like the reference's streaming state
 overwritten by the next block's append (same overwrite-style concat the
 XLA driver uses).
 
-HBM traffic is the speed-of-light bound: read 1 B/bp of codes, write
-~4 B/window-kept positions. All intermediates live in VMEM.
+HBM traffic: read 0.375 B/bp of row-striped 2-bit words (incl. halo
+duplication), write ~4 B/kept-position. All intermediates live in VMEM;
+the kernel is VPU-bound (measured ablation in CLAUDE.md).
 
 Semantics are bit-identical to ops/pipeline.py and the NumPy oracle:
 top-16-bit hash comparison, leftmost (and rightmost for the canonical

@@ -187,6 +187,26 @@ def window_min_cols_packed(hv: jnp.ndarray, w: int, right_tie: bool) -> jnp.ndar
     return (0xFFFF - c16) if right_tie else c16
 
 
+def butterfly_pack_rows_packed(x: jnp.ndarray, C: int) -> jnp.ndarray:
+    """Single-plane within-row left-pack: x = (shift << 16) | local_value.
+
+    Row-local values (< C + l) and shifts (< C) both fit 16 bits for any
+    C <= 32768, so the value and its remaining shift ride one u32 plane —
+    half the planes of butterfly_pack_rows. Dead slots carry 0xFFFF
+    (shift 0); holes are refilled with it. Same monotone-shift argument
+    as butterfly_pack.
+    """
+    DEAD = jnp.uint32(0xFFFF)
+    d = 1
+    while d < C:
+        xs = jnp.concatenate([x[:, d:], x[:, :d]], axis=1)
+        take = ((xs >> jnp.uint32(16)) & jnp.uint32(d)) != 0
+        hole = (((x >> jnp.uint32(16)) & jnp.uint32(d)) != 0) & ~take
+        x = jnp.where(take, xs - jnp.uint32(d << 16), jnp.where(hole, DEAD, x))
+        d *= 2
+    return x
+
+
 def butterfly_pack_rows(planes, shift2: jnp.ndarray, dead: jnp.ndarray):
     """Left-pack live elements WITHIN each row independently.
 

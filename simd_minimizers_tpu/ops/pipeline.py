@@ -57,6 +57,7 @@ from .layout import (
     build_lane_matrix,
     butterfly_pack,
     butterfly_pack_rows,
+    butterfly_pack_rows_packed,
     cumsum_rows_carry,
     window_min_cols_packed,
     windowed_sum,
@@ -204,19 +205,33 @@ def compact_flat(values: jnp.ndarray, keep: jnp.ndarray, R: int, C: int):
     return out.reshape(R * C), count.astype(jnp.int32)
 
 
-def compact_rows(planes, keep2):
+def compact_rows(planes, keep2, row_local_of=None):
     """Row-LOCAL stream compaction: each row front-packs its kept elements.
 
     planes: list of (R, C) uint32 arrays sharing one keep mask. Returns
     (packed planes, per-row counts (R,) int32). log2(C) butterfly stages
     instead of log2(R*C) — the cross-row concatenation is a cheap host
     (or caller) step, since row outputs are already in flat order.
+
+    With `row_local_of` = (localize, globalize) and a single plane, the
+    butterfly runs on ONE packed u32 plane ((shift << 16) | local_value,
+    both fields < 2^16) — the XLA form of the fused kernel's packed
+    compaction.
     """
     keep_i = keep2.astype(jnp.int32)
     rank = _hillis_steele(keep_i, axis=1)  # inclusive per-row
     counts = rank[:, -1]
     j = jax.lax.broadcasted_iota(jnp.int32, keep2.shape, 1)
     shift = jnp.where(keep2, j - (rank - 1), 0)
+    if row_local_of is not None and len(planes) == 1:
+        localize, globalize = row_local_of
+        x = jnp.where(
+            keep2,
+            (localize(planes[0]) & U32(0xFFFF))
+            | (shift.astype(U32) << U32(16)),
+            U32(0xFFFF))
+        out = globalize(butterfly_pack_rows_packed(x, keep2.shape[1]) & U32(0xFFFF))
+        return [out], counts
     return butterfly_pack_rows(planes, shift, ~keep2), counts
 
 
@@ -306,13 +321,20 @@ def _pipeline_chunk_rows(codes, n, offset, prev_raw, ambiguous, k, w, hasher,
     last_raw = sel[jnp.minimum(nw_valid - 1, sel.shape[0] - 1)]
     sel2 = sel.reshape(R, C)
     gw2 = gw.reshape(R, C)
+    # row-local packing: kept values lie in [rowbase, rowbase + C + l), so
+    # value - rowbase fits 16 bits for any C <= 32768 (the fused kernel's
+    # packed-compaction trick, done per row)
+    rowbase = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
+    ).astype(U32) + offset.astype(U32)
+    row_local = (lambda v: v - rowbase, lambda v: v + rowbase)
     if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
         if mode == MODE_OPEN_SYNCMERS:
             is_sync = sel == gw + U32(w // 2)
         else:
             is_sync = (sel == gw) | (sel == gw + U32(w - 1))
         keep = (valid & is_sync & (sel != SKIPPED)).reshape(R, C)
-        (out,), counts = compact_rows([gw2], keep)
+        (out,), counts = compact_rows([gw2], keep, row_local)
         return out, counts, last_raw
     prev = jnp.concatenate([prev_raw.reshape(1), sel[:-1]])
     keep = valid & (sel != prev)
@@ -322,7 +344,7 @@ def _pipeline_chunk_rows(codes, n, offset, prev_raw, ambiguous, k, w, hasher,
     if mode == MODE_SUPERKMERS:
         (out, idx), counts = compact_rows([sel2, gw2], keep)
         return out, idx, counts, last_raw
-    (out,), counts = compact_rows([sel2], keep)
+    (out,), counts = compact_rows([sel2], keep, row_local)
     return out, counts, last_raw
 
 
