@@ -14,6 +14,13 @@ REF_AVX2 = {  # reference bench/results.json (BASELINE.md)
     (11, 21, False): 1.61, (11, 21, True): 2.20,
     (19, 19, False): 1.64, (19, 19, True): 2.16,
 }
+# (input, hasher, w, k, canonical) -> reference AVX2 ns/bp (BASELINE.md)
+REF_EXT = {("packed", "nt", w, k, c): v for (w, k, c), v in REF_AVX2.items()}
+REF_EXT.update({
+    ("packed", "mul", 11, 21, False): 1.74, ("packed", "mul", 11, 21, True): 2.40,
+    ("ascii-dna", "nt", 11, 21, False): 1.84, ("ascii-dna", "nt", 11, 21, True): 2.42,
+    ("ascii", "mul", 11, 21, False): 2.06, ("ascii", "mul", 11, 21, True): 2.63,
+})
 
 
 def main():
@@ -24,16 +31,17 @@ def main():
     print(f"device: {res.get('device')}   n = {res.get('n'):,} bp\n")
 
     if "external" in res:
-        print("== external: fused kernel ns/bp (vs reference AVX2 ntHash) ==")
-        print(f"{'w':>3} {'k':>3} {'strand':>9} {'hasher':>6} {'ns/bp':>8} "
-              f"{'ref':>6} {'speedup':>8}")
+        print("== external: fused kernel ns/bp (vs reference AVX2) ==")
+        print(f"{'w':>3} {'k':>3} {'strand':>9} {'hasher':>6} {'input':>10} "
+              f"{'ns/bp':>8} {'ref':>6} {'speedup':>8}")
         for r in res["external"]:
-            ref = REF_AVX2.get((r["w"], r["k"], r["canonical"]))
-            ref_s = f"{ref:.2f}" if r["hasher"] == "nt" and ref else "-"
-            sp = f"{ref / r['ns_per_bp']:.1f}x" if r["hasher"] == "nt" and ref else "-"
+            inp = r.get("input", "packed")
+            ref = REF_EXT.get((inp, r["hasher"], r["w"], r["k"], r["canonical"]))
+            ref_s = f"{ref:.2f}" if ref else "-"
+            sp = f"{ref / r['ns_per_bp']:.1f}x" if ref else "-"
             strand = "canonical" if r["canonical"] else "fwd"
             print(f"{r['w']:>3} {r['k']:>3} {strand:>9} {r['hasher']:>6} "
-                  f"{r['ns_per_bp']:>8.4f} {ref_s:>6} {sp:>8}")
+                  f"{inp:>10} {r['ns_per_bp']:>8.4f} {ref_s:>6} {sp:>8}")
         print()
 
     if "incremental" in res:

@@ -188,9 +188,13 @@ def bench_incremental(n, quick=False):
                 selF = sel.reshape(R * C)
                 prev = jnp.concatenate([acc.reshape(1), selF[:-1]])
                 if stage == "collect_rows":
-                    # the run_pipeline path: row-local compaction, host concat
+                    # the run_pipeline path: single-packed-plane row-local
+                    # compaction, host concat
+                    rowbase = (jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
+                               * C).astype(jnp.uint32)
+                    row_local = (lambda v: v - rowbase, lambda v: v + rowbase)
                     (out,), counts = P.compact_rows(
-                        [sel], (selF != prev).reshape(R, C))
+                        [sel], (selF != prev).reshape(R, C), row_local)
                     return acc ^ out.sum(dtype=jnp.uint32) ^ counts.sum().astype(jnp.uint32)
                 out, count = P.compact_flat(selF, selF != prev, R, C)
                 return acc ^ out.sum(dtype=jnp.uint32) ^ count.astype(jnp.uint32)
@@ -408,7 +412,14 @@ def main():
     args = ap.parse_args()
     skip = set(args.skip.split(","))
     dev = jax.devices()[0]
-    res = {"device": f"{dev.platform}:{dev.device_kind}", "n": args.n}
+    res = {}
+    if os.path.exists(args.out):  # partial re-runs merge into prior results
+        try:
+            with open(args.out) as f:
+                res = json.load(f)
+        except Exception:
+            res = {}
+    res.update({"device": f"{dev.platform}:{dev.device_kind}", "n": args.n})
 
     def dump():
         with open(args.out, "w") as f:
