@@ -199,3 +199,40 @@ def test_fused_out_cap_truncates_but_counts():
     assert int(count[0]) == want.size  # true total survives
     w_max = out_cap - BCP - F.TAIL
     np.testing.assert_array_equal(np.asarray(out[:w_max]), want[:w_max])
+
+
+@pytest.mark.parametrize("mode", ["minimizers", "superkmers", "closed_syncmers"])
+def test_sketch_long_spans_all_modes_with_ambiguity(mode):
+    """Span streaming + seam-aware merge for every mode, with ambiguity
+    clustered at span boundaries (the case where comparing span OUTPUTS
+    would misdedup — merge_adjacent_shards re-evaluates true seams)."""
+    from simd_minimizers_tpu.ops.fused import sketch_long
+
+    k, w = 5, 7
+    rng = np.random.default_rng(0x51AA)
+    n = 60000
+    codes = rng.integers(0, 4, n, dtype=np.uint8)
+    amb = np.zeros(n, np.uint8)
+    # span_chars=20000 -> seams near 20000/40000; cluster Ns there
+    for c in (19990, 20005, 39995, 40012):
+        amb[c] = 1
+    amb |= (rng.random(n) < 0.001).astype(np.uint8)
+    h = NtHasher(k, canonical=True)
+    # super-k-mers x skip-ambiguous is undefined in the reference
+    # (src/lib.rs:498-503: SkPos impls exist only for SYNCMER=0 without
+    # the skip-ambiguous entry point) — spans are tested without Ns there
+    if mode == "superkmers":
+        amb = None
+    got = sketch_long(codes, k, w, h, mode=mode, ambiguous_np=amb,
+                      C=1024, span_chars=20000, interpret=True)
+    sel = oracle.selected_stream(codes, k, w, h, ambiguous=amb)
+    if mode == "superkmers":
+        want = oracle.collect_and_dedup_with_index(sel)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    elif mode == "closed_syncmers":
+        want = oracle.collect_syncmers(sel, w, False)
+        np.testing.assert_array_equal(got, want)
+    else:
+        want = oracle.collect_and_dedup(sel, skip_sentinel=True)
+        np.testing.assert_array_equal(got, want)
