@@ -73,6 +73,13 @@ def test_fused_fuzz_on_tpu():
     want = oracle.collect_and_dedup(oracle.selected_stream(text, 7, 5, h))
     np.testing.assert_array_equal(got, want, err_msg="generic text striped8")
 
+    # seeded table through the compiled kernel
+    hs = NtHasher(21, canonical=True, seed=101010)
+    codes = rng.integers(0, 4, 60000, dtype=np.uint8)
+    got = fused_sketch(codes, 21, 11, hs)
+    want = oracle.collect_and_dedup(oracle.selected_stream(codes, 21, 11, hs))
+    np.testing.assert_array_equal(got, want, err_msg="seeded nt on chip")
+
     # batched fuzz
     reads = [rng.integers(0, 4, int(m), dtype=np.uint8)
              for m in rng.integers(0, 4096, 40)]
