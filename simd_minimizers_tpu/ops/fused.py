@@ -565,7 +565,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 _ablate_out(jnp.where(keep, vals0, INVALID))
                 return
             rank = _flat_cumsum(keep_all.astype(I32), RB + 1, C)
-            total_new = W + jnp.max(rank)  # rank is non-decreasing in flat order
+            # rank is non-decreasing in flat order: its last element is the
+            # total — a (1,1) slice-reduce instead of a full-plane max
+            total_new = W + jnp.sum(rank[RB:, C - 1 :])
             jf = jax.lax.broadcasted_iota(I32, (RB + 1, C), 1)
             rf = jax.lax.broadcasted_iota(I32, (RB + 1, C), 0)
             flat_i = rf * C + jf
@@ -657,11 +659,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
 
             state[0] = total_new
             # seam for the next block: sel of this block's last window slot
-            # (one-hot sum; u32 reductions don't lower: reduce the i32 bits)
+            # ((1,1) slice-reduce; u32 reductions don't lower: i32 bits)
             sel_bits = pltpu.bitcast(sel, jnp.int32)
-            state[1] = jnp.sum(
-                jnp.where((rw == RB - 1) & (jw == C - 1), sel_bits, 0)
-            )
+            state[1] = jnp.sum(sel_bits[RB - 1 :, C - 1 :])
 
         @pl.when(active)
         def _():
