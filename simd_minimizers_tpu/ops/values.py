@@ -16,10 +16,23 @@ from __future__ import annotations
 
 import numpy as np
 
+# positions are processed in blocks so the (m, length) gather matrix stays
+# bounded (~VALUE_CHUNK * 64 bytes) even at genome scale (5e8+ minimizers)
+VALUE_CHUNK = 1 << 22
+
 
 def _gather_windows(codes: np.ndarray, positions: np.ndarray, length: int) -> np.ndarray:
     idx = positions.astype(np.int64)[:, None] + np.arange(length, dtype=np.int64)[None, :]
     return codes[idx]  # (m, length) uint8
+
+
+def _chunked(fn, positions: np.ndarray):
+    """Apply fn to position blocks; concat (memory-bounded vectorization)."""
+    if positions.size <= VALUE_CHUNK:
+        return fn(positions)
+    parts = [fn(positions[s : s + VALUE_CHUNK])
+             for s in range(0, positions.size, VALUE_CHUNK)]
+    return np.concatenate(parts, axis=-1)
 
 
 def _pack_u64(win: np.ndarray, bits: int) -> np.ndarray:
@@ -35,7 +48,8 @@ def kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int,
     assert bits * length <= 64, f"values_u64 requires {bits}*length <= 64"
     if positions.size == 0:
         return np.zeros(0, dtype=np.uint64)
-    return _pack_u64(_gather_windows(codes, positions, length), bits)
+    return _chunked(
+        lambda p: _pack_u64(_gather_windows(codes, p, length), bits), positions)
 
 
 def revcomp_kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int,
@@ -43,8 +57,9 @@ def revcomp_kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: in
     assert bits * length <= 64
     if positions.size == 0:
         return np.zeros(0, dtype=np.uint64)
-    win = _gather_windows(codes, positions, length)
-    return _pack_u64((win ^ np.uint8(2))[:, ::-1], bits)
+    return _chunked(
+        lambda p: _pack_u64((_gather_windows(codes, p, length) ^ np.uint8(2))[:, ::-1], bits),
+        positions)
 
 
 def canonical_kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int,
@@ -61,16 +76,21 @@ def _limbs(codes: np.ndarray, positions: np.ndarray, length: int,
     assert bits * length <= 128, f"values_u128 requires {bits}*length <= 128"
     if positions.size == 0:
         return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
-    win = _gather_windows(codes, positions, length)
-    if revcomp:
-        win = (win ^ np.uint8(2))[:, ::-1]
-    lo_len = min(length, 64 // bits)
-    lo = _pack_u64(win[:, :lo_len], bits)
-    if length > lo_len:
-        hi = _pack_u64(win[:, lo_len:], bits)
-    else:
-        hi = np.zeros_like(lo)
-    return lo, hi
+
+    def block(p):
+        win = _gather_windows(codes, p, length)
+        if revcomp:
+            win = (win ^ np.uint8(2))[:, ::-1]
+        lo_len = min(length, 64 // bits)
+        lo = _pack_u64(win[:, :lo_len], bits)
+        if length > lo_len:
+            hi = _pack_u64(win[:, lo_len:], bits)
+        else:
+            hi = np.zeros_like(lo)
+        return np.stack([lo, hi])  # (2, m): rides _chunked's concat on axis -1
+
+    both = _chunked(block, positions)
+    return both[0], both[1]
 
 
 def kmer_values_u128_limbs(codes: np.ndarray, positions: np.ndarray, length: int,

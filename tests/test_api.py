@@ -190,3 +190,22 @@ def test_backend_routes_huge_inputs_through_chunked(monkeypatch):
     assert calls, "chunked path not taken"
     want = oracle.collect_and_dedup(oracle.selected_stream(codes, 21, 11, h))
     np.testing.assert_array_equal(got, want)
+
+
+def test_values_chunked_blocks_match_unchunked(monkeypatch):
+    """Value extraction processes positions in memory-bounded blocks at
+    genome scale; block boundaries must not change any result."""
+    from simd_minimizers_tpu.ops import values as V
+
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, 1200, dtype=np.uint8)
+    pos = np.sort(rng.choice(1100, 150, replace=False)).astype(np.uint32)
+    want64 = V.kmer_values_u64(codes, pos, 31)
+    wantc = V.canonical_kmer_values_u64(codes, pos, 31)
+    want128 = V.canonical_kmer_values_u128_limbs(codes, pos, 49)
+    monkeypatch.setattr(V, "VALUE_CHUNK", 11)
+    np.testing.assert_array_equal(V.kmer_values_u64(codes, pos, 31), want64)
+    np.testing.assert_array_equal(V.canonical_kmer_values_u64(codes, pos, 31), wantc)
+    got = V.canonical_kmer_values_u128_limbs(codes, pos, 49)
+    np.testing.assert_array_equal(got[0], want128[0])
+    np.testing.assert_array_equal(got[1], want128[1])
