@@ -236,3 +236,25 @@ def test_sketch_long_spans_all_modes_with_ambiguity(mode):
     else:
         want = oracle.collect_and_dedup(sel, skip_sentinel=True)
         np.testing.assert_array_equal(got, want)
+
+
+def test_fused_extreme_k_w_edges():
+    """Degenerate geometries through the fused kernel: k=1, w=1, k>32
+    (u128 territory), k=64, all hashers — bit-exact vs the oracle."""
+    from simd_minimizers_tpu.hashers import AntiLexHasher, MulHasher
+
+    rng = np.random.default_rng(0xED6E)
+    for k in (1, 17, 33, 64):
+        for w in (1, 2, 17):
+            l = k + w - 1
+            for hcls in (NtHasher, MulHasher, AntiLexHasher):
+                canonical = l % 2 == 1
+                n = int(rng.integers(l + 1, 6000))
+                codes = rng.integers(0, 4, n, dtype=np.uint8)
+                h = hcls(k, canonical=canonical)
+                got = fused_sketch(codes, k, w, h, C=1024, interpret=True)
+                want = oracle.collect_and_dedup(
+                    oracle.selected_stream(codes, k, w, h))
+                np.testing.assert_array_equal(
+                    got, want,
+                    err_msg=f"k={k} w={w} {hcls.__name__} canon={canonical}")
