@@ -235,37 +235,3 @@ def butterfly_pack_rows(planes, shift2: jnp.ndarray, dead: jnp.ndarray):
     return xs
 
 
-def window_lex_min(hv: jnp.ndarray, pos: jnp.ndarray, w: int, right_tie: bool) -> jnp.ndarray:
-    """Per-row sliding-window minimum positions over (hash, pos) pairs.
-
-    Exact reference tie semantics: min hash first; on equal hash the
-    leftmost (right_tie=False) or rightmost (right_tie=True) position wins
-    (/root/reference/src/sliding_min.rs:104-106, 190-192).
-
-    Sparse-table trick (min is idempotent): F_p = min over [i, i+p) for the
-    largest power of two p <= w, then win[i] = min(F_p[i], F_p[i+w-p]).
-    Returns (R, NKr - w + 1) uint32 positions.
-    """
-
-    def comb(a, b):
-        ah, ap = a
-        bh, bp = b
-        if right_tie:
-            better = (bh < ah) | ((bh == ah) & (bp > ap))
-        else:
-            better = (bh < ah) | ((bh == ah) & (bp < ap))
-        return jnp.where(better, bh, ah), jnp.where(better, bp, ap)
-
-    S = hv.shape[1]
-    f = (hv, pos)
-    p = 1
-    while p * 2 <= w:
-        L = S - 2 * p + 1
-        f = comb((f[0][:, :L], f[1][:, :L]), (f[0][:, p : p + L], f[1][:, p : p + L]))
-        p *= 2
-    C = S - w + 1
-    _, wpos = comb(
-        (f[0][:, :C], f[1][:, :C]),
-        (f[0][:, w - p : w - p + C], f[1][:, w - p : w - p + C]),
-    )
-    return wpos
