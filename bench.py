@@ -29,10 +29,9 @@ BASELINE_NS_PER_BP = 2.20  # canonical k=21 w=11, AVX2 (bench/results.json)
 def main() -> None:
     import jax
 
-    import os
-    cache = os.path.join(os.path.expanduser("~"), ".cache", "smtpu", "jax")
-    os.makedirs(cache, mode=0o700, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
+    from simd_minimizers_tpu import cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir("jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 

@@ -43,6 +43,8 @@ def main():
     from simd_minimizers_tpu.ops import fused as F
     from simd_minimizers_tpu.ops.pipeline import hasher_jit_args
 
+    assert args.rb == 8 or args.input != "striped2r", \
+        "the native row-striped packer hardcodes 8 rows/block"
     F.RB = args.rb  # before any trace
     k, w, n, C = args.k, args.w, args.n, args.c
     l = k + w - 1

@@ -32,10 +32,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from simd_minimizers_tpu import cache_dir  # noqa: E402
+
 import jax
-_cache = os.path.join(os.path.expanduser("~"), ".cache", "smtpu", "jax")
-os.makedirs(_cache, mode=0o700, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_compilation_cache_dir", cache_dir("jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -278,7 +278,8 @@ def bench_batch(quick=False):
         nw = B * stride
         C = F.DEF_C
         BC = F.RB * C
-        G = BT._bucket_pow2(-(-nw // BC))
+        from simd_minimizers_tpu.ops.backend import _bucket_G
+        G = _bucket_G(-(-nw // BC))
         PADH = F.padh_for(k + w - 1)
         need = max(G * BC + F.TAIL, F.rowstriped_need_chars(G, C, PADH))
         reads = list(rng.integers(0, 4, (B, L), dtype=np.uint8))

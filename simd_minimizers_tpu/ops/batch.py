@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..hashers import KmerHasher
+from . import backend as _backend
 from . import pipeline
 from .pipeline import (
     MODE_CLOSED_SYNCMERS,
@@ -46,10 +47,6 @@ def _stride_bucket(x: int) -> int:
         return 8
     e = x.bit_length() - 4
     return ((x + (1 << e) - 1) >> e) << e
-
-
-def _bucket_pow2(x: int) -> int:
-    return 1 << (x - 1).bit_length() if x > 1 else 1
 
 
 def _fill_slots(reads, ambs, stride: int, need: int):
@@ -144,14 +141,7 @@ def sketch_batch(
     if backend == "auto":
         if dna is None:
             dna = all(rd.size == 0 or int(rd.max()) <= 3 for rd in reads)
-        use_fused = False
-        if dna:
-            try:
-                import jax
-
-                use_fused = jax.default_backend() == "tpu"
-            except Exception:
-                use_fused = False
+        use_fused = dna and _backend._use_fused()
     else:
         use_fused = backend == "fused"
         if use_fused:
@@ -182,7 +172,7 @@ def sketch_batch(
 
                 Cg = Cdef or fused.DEF_C
                 BC = fused.RB * Cg
-                G = _bucket_pow2(-(-nw // BC))
+                G = _backend._bucket_G(-(-nw // BC))
                 need = max(G * BC + fused.TAIL,
                            fused.rowstriped_need_chars(G, Cg, fused.padh_for(l)))
                 codes, amb = _fill_slots(sub_reads, sub_amb, stride, need)
