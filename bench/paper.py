@@ -229,7 +229,12 @@ def bench_incremental(n, quick=False):
 
 
 def bench_short(quick=False):
-    """Per-sequence latency sweep (single sequence per call)."""
+    """Per-sequence latency sweep (single sequence per call).
+
+    Per-call latencies through the axon tunnel are dispatch-noise bound
+    (~130-600 us floor that varies +-3x run to run); treat the short rows
+    as order-of-magnitude. On a directly-attached TPU VM the dispatch
+    floor is ~10-30 us."""
     k, w = 21, 11
     h = NtHasher(k, canonical=True)
     rows = []
@@ -238,8 +243,7 @@ def bench_short(quick=False):
     for n in lens:
         l = k + w - 1
         nw = max(n - l + 1, 1)
-        # mirror backend.sketch's small-block dispatch
-        C = 1024 if nw <= F.RB * 1024 else F.DEF_C
+        C = F.DEF_C
         BC = F.RB * C
         G = max(1, -(-nw // BC))
         PADH = F.padh_for(l)

@@ -64,13 +64,13 @@ def sketch(
                 codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np
             )
         nw = max(n - l + 1, 1)
-        # short inputs take a small-block variant (C=1024: one ~4x smaller
-        # grid step) — lower per-call device latency for read-sized seqs
-        C = 1024 if nw <= fused.RB * 1024 else fused.DEF_C
-        G = _bucket_G(-(-nw // (fused.RB * C)))
+        # one geometry for all sizes: measured A/B shows the C=4096 kernel
+        # beats a C=1024 small-block variant even at len 1024 (153 vs
+        # 200 us/call) — the per-call floor is launch overhead, not block
+        # compute, so the extra compile variant bought nothing
+        G = _bucket_G(-(-nw // (fused.RB * fused.DEF_C)))
         return fused.fused_sketch(
-            codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np, G=G,
-            C=C,
+            codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np, G=G
         )
     if n >= l and (n - l + 1) > PIPELINE_CHUNK_WINDOWS:
         from . import chunked
