@@ -112,23 +112,74 @@ def local_shard_sketch(
     num_shards: int,
     shard_id: int,
     mode: str = pipeline.MODE_MINIMIZERS,
+    ambiguous_np: np.ndarray | None = None,
     mesh=None,
-) -> np.ndarray:
-    """This host's contribution: sketch its halo'd shard, global positions."""
+):
+    """This host's contribution: sketch its halo'd shard, global outputs.
+
+    Mode-aware like the reference's single implementation
+    (/root/reference/src/lib.rs:427-436, :451-496): returns global
+    positions for minimizers, (positions, window indices) for super-k-mers,
+    and global window indices for syncmers. On TPU every mode runs through
+    the fused sharded kernel (shard.fused_sharded_sketch supports them
+    all); elsewhere the XLA sharded path serves.
+    """
     l = k + w - 1
     n = int(codes_np.shape[0])
+    empty = np.zeros(0, np.uint32)
     s, e = shard_bounds(n, l, num_shards, shard_id)
     if e <= s:
-        return np.zeros(0, np.uint32)
+        return (empty, empty) if mode == pipeline.MODE_SUPERKMERS else empty
     local = codes_np[s:e]
+    local_amb = ambiguous_np[s:e] if ambiguous_np is not None else None
     from ..ops import backend
 
     mesh = mesh or shard.default_mesh(local_only=True)
-    if backend._use_fused() and mode == pipeline.MODE_MINIMIZERS:
-        pos = shard.fused_sharded_sketch(local, k, w, hasher, mode=mode, mesh=mesh)
+    if backend._use_fused():
+        res = shard.fused_sharded_sketch(local, k, w, hasher, mode=mode,
+                                         ambiguous_np=local_amb, mesh=mesh)
     else:
-        pos = shard.sharded_sketch(local, k, w, hasher, mode=mode, mesh=mesh)
-    return (pos + np.uint32(s)).astype(np.uint32)
+        res = shard.sharded_sketch(local, k, w, hasher, mode=mode,
+                                   ambiguous_np=local_amb, mesh=mesh)
+    off = np.uint32(s)
+    if mode == pipeline.MODE_SUPERKMERS:
+        pos, idx = res
+        return (pos + off).astype(np.uint32), (idx + off).astype(np.uint32)
+    return (res + off).astype(np.uint32)
+
+
+def _allgather_ragged(mine: np.ndarray, nproc: int) -> list[np.ndarray]:
+    """All-gather one ragged uint32 array: returns the per-process list.
+
+    Pads to the max count, exchanges (buffer, count) over DCN.
+    """
+    from jax.experimental import multihost_utils
+
+    cap = max(
+        int(multihost_utils.process_allgather(
+            np.asarray([mine.size], np.int64)).max()),
+        1,
+    )
+    buf = np.full(cap, 0xFFFFFFFF, np.uint32)
+    buf[: mine.size] = mine
+    all_bufs = multihost_utils.process_allgather(buf)  # (nproc, cap)
+    all_cnts = multihost_utils.process_allgather(np.asarray([mine.size], np.int64))
+    return [all_bufs[p, : int(all_cnts[p, 0])] for p in range(nproc)]
+
+
+def _merge_mode_shards(parts, starts, codes_np, k, w, hasher, mode,
+                       ambiguous_np=None, aux=None):
+    """Mode-aware merge of per-shard outputs into the global result."""
+    empty = np.zeros(0, np.uint32)
+    if mode in (pipeline.MODE_CLOSED_SYNCMERS, pipeline.MODE_OPEN_SYNCMERS):
+        # syncmer outputs are window indices; shards own disjoint window
+        # ranges, so a plain concat is exact
+        return np.concatenate(parts) if parts else empty
+    if mode == pipeline.MODE_SUPERKMERS:
+        return merge_adjacent_shards(parts, starts, codes_np, k, w, hasher,
+                                     ambiguous_np, aux=aux)
+    return merge_adjacent_shards(parts, starts, codes_np, k, w, hasher,
+                                 ambiguous_np)
 
 
 def multihost_sketch(
@@ -137,30 +188,34 @@ def multihost_sketch(
     w: int,
     hasher: KmerHasher,
     mode: str = pipeline.MODE_MINIMIZERS,
-) -> np.ndarray:
-    """Whole-genome sketch across all JAX processes.
+    ambiguous_np: np.ndarray | None = None,
+):
+    """Whole-genome sketch across all JAX processes, in every mode.
 
     Call identically on every host (after jax.distributed.initialize);
     each host sketches its shard on its local devices, shards all-gather
-    over DCN, and every host returns the identical global position list.
-    On a single process this degrades to the local sharded sketch.
+    over DCN, and every host returns the identical global result:
+    positions, (positions, super-k-mer window indices), or syncmer window
+    indices — with `ambiguous_np` the N-containing windows are skipped
+    (/root/reference/src/lib.rs:451-496). On a single process this
+    degrades to the local sharded sketch.
     """
     import jax
 
     nproc = jax.process_count()
     pid = jax.process_index()
-    mine = local_shard_sketch(codes_np, k, w, hasher, nproc, pid, mode=mode)
+    mine = local_shard_sketch(codes_np, k, w, hasher, nproc, pid, mode=mode,
+                              ambiguous_np=ambiguous_np)
     if nproc == 1:
         return mine
-    from jax.experimental import multihost_utils
-
-    # ragged all-gather: pad to the max count, exchange (buffer, count)
-    cap = int(
-        multihost_utils.process_allgather(np.asarray([mine.size], np.int64)).max()
-    )
-    buf = np.full(cap, 0xFFFFFFFF, np.uint32)
-    buf[: mine.size] = mine
-    all_bufs = multihost_utils.process_allgather(buf)  # (nproc, cap)
-    all_cnts = multihost_utils.process_allgather(np.asarray([mine.size], np.int64))
-    shards = [all_bufs[p, : int(all_cnts[p, 0])] for p in range(nproc)]
-    return merge_shard_positions(shards)
+    l = k + w - 1
+    starts = [shard_bounds(int(codes_np.shape[0]), l, nproc, p)[0]
+              for p in range(nproc)]
+    if mode == pipeline.MODE_SUPERKMERS:
+        parts = _allgather_ragged(mine[0], nproc)
+        aux = _allgather_ragged(mine[1], nproc)
+    else:
+        parts = _allgather_ragged(mine, nproc)
+        aux = None
+    return _merge_mode_shards(parts, starts, codes_np, k, w, hasher, mode,
+                              ambiguous_np, aux=aux)

@@ -48,6 +48,83 @@ def test_multihost_sketch_single_process():
 @pytest.mark.parametrize("mode", ["minimizers", "superkmers",
                                   "closed_syncmers", "open_syncmers",
                                   "skip_ambiguous"])
+@pytest.mark.parametrize("num_shards", [1, 3])
+def test_multihost_layer_all_modes(mode, num_shards):
+    """The multihost LAYER (local_shard_sketch + mode-aware merge) serves
+    every mode the reference's one implementation does
+    (/root/reference/src/lib.rs:427-436, :451-496) — not just minimizers."""
+    from simd_minimizers_tpu.ops import pipeline
+
+    k, w = 11, 7
+    n = 20000
+    codes = RNG.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=mode in ("minimizers", "superkmers", "skip_ambiguous"))
+    amb = None
+    kernel_mode = mode
+    if mode == "skip_ambiguous":
+        kernel_mode = "minimizers"
+        amb = (RNG.random(n) < 0.005).astype(np.uint8)
+    l = k + w - 1
+    parts = [
+        multihost.local_shard_sketch(codes, k, w, h, num_shards, s,
+                                     mode=kernel_mode, ambiguous_np=amb)
+        for s in range(num_shards)
+    ]
+    starts = [multihost.shard_bounds(n, l, num_shards, s)[0]
+              for s in range(num_shards)]
+    if kernel_mode == "superkmers":
+        got = multihost._merge_mode_shards(
+            [p[0] for p in parts], starts, codes, k, w, h, kernel_mode,
+            amb, aux=[p[1] for p in parts])
+    else:
+        got = multihost._merge_mode_shards(
+            parts, starts, codes, k, w, h, kernel_mode, amb)
+    sel = oracle.selected_stream(codes, k, w, h, ambiguous=amb)
+    if kernel_mode == "superkmers":
+        want = oracle.collect_and_dedup_with_index(sel)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    elif kernel_mode.endswith("syncmers"):
+        want = oracle.collect_syncmers(sel, w, kernel_mode == "open_syncmers")
+        np.testing.assert_array_equal(got, want)
+    else:
+        want = oracle.collect_and_dedup(sel, skip_sentinel=amb is not None)
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["superkmers", "closed_syncmers"])
+def test_multihost_sketch_single_process_modes(mode):
+    """multihost_sketch end-to-end (single process) in non-minimizer modes."""
+    k, w = 5, 7
+    codes = RNG.integers(0, 4, 5000, dtype=np.uint8)
+    h = NtHasher(k)
+    got = multihost.multihost_sketch(codes, k, w, h, mode=mode)
+    sel = oracle.selected_stream(codes, k, w, h)
+    if mode == "superkmers":
+        want = oracle.collect_and_dedup_with_index(sel)
+        assert isinstance(got, tuple), "superkmers must return a (pos, idx) tuple"
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+    else:
+        want = oracle.collect_syncmers(sel, w, False)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_multihost_sketch_skip_ambiguous():
+    k, w = 5, 7
+    n = 5000
+    codes = RNG.integers(0, 4, n, dtype=np.uint8)
+    amb = (RNG.random(n) < 0.01).astype(np.uint8)
+    h = NtHasher(k, canonical=True)
+    got = multihost.multihost_sketch(codes, k, w, h, ambiguous_np=amb)
+    want = oracle.collect_and_dedup(
+        oracle.selected_stream(codes, k, w, h, ambiguous=amb), skip_sentinel=True)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("mode", ["minimizers", "superkmers",
+                                  "closed_syncmers", "open_syncmers",
+                                  "skip_ambiguous"])
 def test_fused_sharded_all_modes_on_mesh(mode):
     """The fused Pallas kernel under shard_map (8-dev CPU mesh, interpret
     mode) supports every reference mode (src/lib.rs:427-436, :475-482)."""
