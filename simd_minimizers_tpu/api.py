@@ -111,18 +111,32 @@ class Builder:
         seq = as_seq(seq)
         h = self._resolved_hasher()
         codes = seq.codes()
+        # the seq type decides DNA vs general text exactly — no O(n) probe
+        dna = getattr(seq, "char_bits", 2) == 2
         if self.syncmer != _SYNCMER_NONE:
             mode = (
                 pipeline.MODE_OPEN_SYNCMERS
                 if self.syncmer == _SYNCMER_OPEN
                 else pipeline.MODE_CLOSED_SYNCMERS
             )
-            pos = backend.sketch(codes, self.k, self.w, h, mode=mode, ambiguous_np=ambiguous)
+            pos = backend.sketch(codes, self.k, self.w, h, mode=mode,
+                                 ambiguous_np=ambiguous, dna=dna)
             return Output(self._out_length, seq, pos, canonical=self.canonical)
         if self._super_kmers:
-            pos, idx = backend.sketch(codes, self.k, self.w, h, mode=pipeline.MODE_SUPERKMERS)
+            # the reference makes this combination unrepresentable
+            # (super-kmers impl only for SYNCMER=0 without the ambiguity
+            # stream, /root/reference/src/lib.rs:498-503) — assert rather
+            # than silently computing something subtly different
+            assert ambiguous is None, (
+                "super_kmers cannot be combined with an ambiguity mask "
+                "(unsupported in the reference; run without super_kmers "
+                "or pre-split the sequence at ambiguous bases)"
+            )
+            pos, idx = backend.sketch(codes, self.k, self.w, h,
+                                      mode=pipeline.MODE_SUPERKMERS, dna=dna)
             return Output(self._out_length, seq, pos, idx, canonical=self.canonical)
-        pos = backend.sketch(codes, self.k, self.w, h, ambiguous_np=ambiguous)
+        pos = backend.sketch(codes, self.k, self.w, h, ambiguous_np=ambiguous,
+                             dna=dna)
         return Output(self._out_length, seq, pos, canonical=self.canonical)
 
     def run_scalar(self, seq, ambiguous: np.ndarray | None = None) -> Output:
@@ -207,7 +221,9 @@ def _builder_run_batch(self, reads, ambiguous=None):
 
     reads: list of sequences (any accepted type). Returns (read_ids,
     positions[, superkmer indices]) ordered by read; positions are local
-    to each read. See ops/batch.sketch_batch.
+    to each read. Reads shorter than l = k + w - 1 have no windows and are
+    dropped from the output entirely (their ids never appear). See
+    ops/batch.sketch_batch.
     """
     from .ops import backend, pipeline
     from .seq.packed import GenericSeq

@@ -45,8 +45,13 @@ def sketch(
     hasher: KmerHasher,
     mode: str = pipeline.MODE_MINIMIZERS,
     ambiguous_np: np.ndarray | None = None,
+    dna: bool | None = None,
 ):
-    """Positions (or (positions, superkmer indices)) via the best backend."""
+    """Positions (or (positions, superkmer indices)) via the best backend.
+
+    `dna` tells the fused path whether codes are 2-bit DNA (threaded from
+    the seq type by the public API so no hot path scans the input on host;
+    None falls back to a probe)."""
     n = int(codes_np.shape[0])
     l = k + w - 1
     if _use_fused():
@@ -61,7 +66,8 @@ def sketch(
                 )
         if n >= (1 << 30):
             return fused.sketch_long(
-                codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np
+                codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np,
+                dna=dna,
             )
         nw = max(n - l + 1, 1)
         # one geometry for all sizes: measured A/B shows the C=4096 kernel
@@ -70,7 +76,8 @@ def sketch(
         # compute, so the extra compile variant bought nothing
         G = _bucket_G(-(-nw // (fused.RB * fused.DEF_C)))
         return fused.fused_sketch(
-            codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np, G=G
+            codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np, G=G,
+            dna=dna,
         )
     if n >= l and (n - l + 1) > PIPELINE_CHUNK_WINDOWS:
         from . import chunked

@@ -140,13 +140,17 @@ def sketch_batch(
 
     if backend == "auto":
         if dna is None:
-            dna = all(rd.size == 0 or int(rd.max()) <= 3 for rd in reads)
+            from ..utils.bits import probe_is_dna
+
+            dna = all(probe_is_dna(rd) for rd in reads)
         use_fused = dna and _backend._use_fused()
     else:
         use_fused = backend == "fused"
         if use_fused:
+            from ..utils.bits import probe_is_dna
+
             assert dna is None or dna, "the fused batch path ships 2-bit codes"
-            assert all(rd.size == 0 or int(rd.max()) <= 3 for rd in reads), \
+            assert dna or all(probe_is_dna(rd) for rd in reads), \
                 "fused batch path requires 2-bit codes (DNA)"
 
     # group eligible reads (len >= l) by stride bucket; stride > len so at
@@ -159,8 +163,15 @@ def sketch_batch(
     Cdef = C
     rid_parts, pos_parts, idx_parts = [], [], []
     emit_idx = mode == MODE_SUPERKMERS
+    # The XLA-pipeline fallback materializes the whole launch as (R, C)
+    # lane-matrix planes, so its per-launch cap must match the memory
+    # bound backend.sketch enforces for single sequences
+    # (PIPELINE_CHUNK_WINDOWS), not the fused kernel's streaming cap.
+    launch_chars = (
+        MAX_LAUNCH_CHARS if use_fused else _backend.PIPELINE_CHUNK_WINDOWS
+    )
     for stride, idxs in sorted(groups.items()):
-        per_launch = max(MAX_LAUNCH_CHARS // stride, 1)
+        per_launch = max(launch_chars // stride, 1)
         for s0 in range(0, len(idxs), per_launch):
             sub = idxs[s0 : s0 + per_launch]
             sub_reads = [reads[i] for i in sub]

@@ -378,7 +378,11 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 src = codes_hbm.at[pl.ds(blk * BC, SLAB)]
             return pltpu.make_async_copy(src, slot_ref, sem_in.at[slot])
 
-        @pl.when(g == 0)
+        # Gate on `active` too: a zero-window launch (nw_total <= 0 happens
+        # for over-provisioned shards in fused_sharded_sketch) never runs
+        # body(), so an unconditional start here would leave the DMA
+        # pending at kernel exit — undefined behavior on real TPUs.
+        @pl.when((g == 0) & active)
         def _():
             in_copy(0, slab0, 0).start()
 
@@ -795,6 +799,7 @@ def fused_sketch(
     interpret: bool = False,
     G: int | None = None,
     offset: int = 0,
+    dna: bool | None = None,
 ):
     """Whole-sequence sketch through the fused kernel (host convenience).
 
@@ -802,7 +807,9 @@ def fused_sketch(
     `G` may over-provision the grid (excess blocks are fully masked), which
     lets callers bucket grid sizes to bound recompiles. `offset` shifts all
     emitted positions/window indices (u32), for >2^31-char streaming
-    (sketch_long) and sharding.
+    (sketch_long) and sharding. `dna` selects the 2-bit wire format without
+    scanning the input (True: values are 2-bit codes; False: general text
+    bytes); None falls back to an O(n) host probe.
     """
     l = k + w - 1
     n = int(codes_np.shape[0])
@@ -820,8 +827,9 @@ def fused_sketch(
     # the lane matrix in VMEM via tile-repeat + shift (plain u8 HBM
     # slices don't tile-align for the DMA engine).
     from .. import native
+    from ..utils.bits import probe_is_dna
 
-    is_2bit = codes_np.size == 0 or int(codes_np.max()) <= 3
+    is_2bit = probe_is_dna(codes_np) if dna is None else dna
     skip_ambiguous = ambiguous_np is not None
     if is_2bit:
         input_mode = "striped2r"
@@ -871,6 +879,7 @@ def sketch_long(
     C: int = DEF_C,
     span_chars: int = 1 << 29,
     interpret: bool = False,
+    dna: bool | None = None,
 ):
     """Stream a sequence of up to 2^32 chars through span-sized fused calls.
 
@@ -888,7 +897,8 @@ def sketch_long(
         return (empty, empty) if mode == MODE_SUPERKMERS else empty
     if n <= span_chars:
         return fused_sketch(codes_np, k, w, hasher, mode=mode,
-                            ambiguous_np=ambiguous_np, C=C, interpret=interpret)
+                            ambiguous_np=ambiguous_np, C=C, interpret=interpret,
+                            dna=dna)
     nw = n - l + 1
     spans = []
     idxs = []
@@ -900,7 +910,8 @@ def sketch_long(
         chars_end = min(e - 1 + l, n)
         amb = ambiguous_np[s:chars_end] if ambiguous_np is not None else None
         res = fused_sketch(codes_np[s:chars_end], k, w, hasher, mode=mode,
-                           ambiguous_np=amb, C=C, offset=s, interpret=interpret)
+                           ambiguous_np=amb, C=C, offset=s, interpret=interpret,
+                           dna=dna)
         if mode == MODE_SUPERKMERS:
             spans.append(res[0])
             idxs.append(res[1])

@@ -209,3 +209,40 @@ def test_values_chunked_blocks_match_unchunked(monkeypatch):
     got = V.canonical_kmer_values_u128_limbs(codes, pos, 49)
     np.testing.assert_array_equal(got[0], want128[0])
     np.testing.assert_array_equal(got[1], want128[1])
+
+
+def test_superkmers_rejects_ambiguity_mask():
+    """The reference makes super-kmers + skip-ambiguous unrepresentable
+    (/root/reference/src/lib.rs:498-503); run() must assert, not silently
+    drop the mask."""
+    codes = RNG.integers(0, 4, 200, dtype=np.uint8)
+    amb = np.zeros(200, np.uint8)
+    amb[50] = 1
+    b = sm.canonical_minimizers(5, 7).super_kmers()
+    with pytest.raises(AssertionError, match="super_kmers"):
+        b.run(codes, ambiguous=amb)
+
+
+def test_public_api_never_probes_input_on_host(monkeypatch):
+    """The DNA/text decision comes from the seq type; no O(n) host scan
+    (probe_is_dna) may run when calling through the public API."""
+    from simd_minimizers_tpu.utils import bits
+
+    def boom(arr):
+        raise AssertionError("O(n) host probe reached from the public API")
+
+    monkeypatch.setattr(bits, "probe_is_dna", boom)
+    codes = RNG.integers(0, 4, 3000, dtype=np.uint8)
+    h = sm.NtHasher(11, canonical=True)
+    out = sm.canonical_minimizers(11, 7).hasher(h).run(
+        sm.PackedSeqVec.from_codes(codes))
+    assert out.positions.size > 0
+    # general text flows through the same probe-free path
+    text = bytes((RNG.integers(32, 127, 2000)).astype(np.uint8))
+    out2 = sm.minimizers(7, 5).hasher(sm.MulHasher(7)).run(text)
+    assert out2.positions.size > 0
+    # batched reads too (dna threaded from the seq types)
+    rid, pos = sm.minimizers(5, 7).run_batch(
+        [sm.PackedSeqVec.from_codes(RNG.integers(0, 4, 64, dtype=np.uint8))
+         for _ in range(3)])
+    assert rid.size > 0

@@ -156,6 +156,23 @@ def test_fused_sharded_all_modes_on_mesh(mode):
         np.testing.assert_array_equal(got, want)
 
 
+def test_fused_sharded_with_empty_trailing_shards():
+    """nw < ndev: trailing devices get ZERO windows. Their kernel launches
+    must produce empty outputs (and, on hardware, must not leave the
+    block-0 input DMA pending — the start is gated on `active`)."""
+    from simd_minimizers_tpu.parallel import shard
+
+    k, w = 5, 7
+    l = k + w - 1
+    codes = RNG.integers(0, 4, l + 4, dtype=np.uint8)  # nw = 5 < 8 devices
+    h = NtHasher(k, canonical=True)
+    mesh = shard.default_mesh()
+    got = shard.fused_sharded_sketch(codes, k, w, h, mesh=mesh, C=1024,
+                                     interpret=True)
+    want = oracle.collect_and_dedup(oracle.selected_stream(codes, k, w, h))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_seam_merge_with_trailing_skipped_run():
     """Shard seams where the earlier side ends in SKIPPED windows: the
     naive last-output comparison would wrongly dedup; the seam-aware

@@ -92,6 +92,44 @@ def test_fused_fuzz_on_tpu():
 
 
 @requires_tpu
+def test_zero_window_launch_on_tpu():
+    """A compiled launch with nw_total = 0 (the empty-shard case produced
+    by fused_sharded_sketch on over-provisioned meshes) must return
+    count 0 and terminate cleanly — no block is active, so the block-0
+    input DMA start must be gated or the kernel exits with it pending
+    (undefined behavior only observable on real hardware)."""
+    import jax.numpy as jnp
+
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import fused
+    from simd_minimizers_tpu.ops.pipeline import hasher_jit_args
+
+    k, w = 21, 11
+    h = NtHasher(k, canonical=True)
+    key, table, mul_const = hasher_jit_args(h)
+    C, G = fused.DEF_C, 2
+    PADH = fused.padh_for(k + w - 1)
+    _, _, SPW_PAD = fused.rowstriped_geometry(C, PADH)
+    words = jnp.zeros((G * fused.RB, SPW_PAD), jnp.uint32)
+    out, idx, count = fused._fused_call(
+        words, jnp.zeros(fused.TAIL, jnp.uint32),
+        jnp.asarray([0, 0], np.int32),  # nw_total = 0
+        jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
+        k=k, w=w, mode="minimizers", skip_ambiguous=False, hasher_key=key,
+        C=C, G=G, input_mode="striped2r",
+    )
+    assert int(count[0]) == 0
+    # a second normal launch must still work (no semaphore corruption)
+    rng = np.random.default_rng(0xE0)
+    codes = rng.integers(0, 4, 50000, dtype=np.uint8)
+    from simd_minimizers_tpu.ops import oracle
+
+    got = fused.fused_sketch(codes, k, w, h)
+    want = oracle.collect_and_dedup(oracle.selected_stream(codes, k, w, h))
+    np.testing.assert_array_equal(got, want)
+
+
+@requires_tpu
 def test_sketch_long_spans_on_tpu():
     """Compiled span streaming with u32 offsets + seam merge."""
     import numpy as np
