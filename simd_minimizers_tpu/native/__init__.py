@@ -54,6 +54,10 @@ def _build_and_load():
         lib.pack_2bit_rowstriped.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+        lib.pack_2bit_rowstriped_multi.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
         lib.fasta_scan.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
                                    ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_int64]
@@ -180,6 +184,39 @@ def pack_2bit_rowstriped(codes: np.ndarray, nblocks: int, bc: int, c0: int,
                 seg = codes[base + t * spw : base + t * spw + spw]
                 out3[b, r, :spw] |= (seg.astype(np.uint32) & 3) << np.uint32(2 * t)
     return out
+
+
+def pack_2bit_rowstriped_multi(codes: np.ndarray, starts: np.ndarray,
+                               lens: np.ndarray, nblocks: int, bc: int,
+                               c0: int, sp: int, spw: int,
+                               spw_pad: int) -> np.ndarray:
+    """Row-striped packing of ndev spans of `codes` in one native call.
+
+    Span d starts at char starts[d] and exposes lens[d] chars (reads past
+    its length yield 0). Returns (ndev, nblocks*8, spw_pad) uint32 — the
+    concatenation of per-span pack_2bit_rowstriped results, with no
+    intermediate padded span copies.
+    """
+    starts = np.ascontiguousarray(starts, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    ndev = int(starts.size)
+    lib = _build_and_load()
+    out = np.zeros(ndev * nblocks * 8 * spw_pad, np.uint32)
+    if lib is not None and ndev and nblocks:
+        codes = np.ascontiguousarray(codes)
+        lib.pack_2bit_rowstriped_multi(_ptr(codes), _ptr(starts), _ptr(lens),
+                                       ndev, nblocks, bc, c0, sp, spw,
+                                       spw_pad, _ptr(out))
+        return out.reshape(ndev, nblocks * 8, spw_pad)
+    out3 = out.reshape(ndev, nblocks * 8, spw_pad)
+    need = (nblocks - 1) * bc + 7 * c0 + 16 * spw if nblocks else 0
+    for d in range(ndev):
+        span = np.zeros(max(need, 0), np.uint8)
+        ln = int(lens[d])
+        span[:ln] = codes[int(starts[d]) : int(starts[d]) + ln]
+        out3[d] = pack_2bit_rowstriped(span, nblocks, bc, c0, sp, spw,
+                                       spw_pad).reshape(nblocks * 8, spw_pad)
+    return out3
 
 
 def pack_bytes_striped(codes: np.ndarray, nblocks: int, bc: int,

@@ -114,6 +114,44 @@ void pack_2bit_rowstriped(const uint8_t* codes, int64_t nblocks, int64_t bc,
     }
 }
 
+// Multi-span row-striped packing: packs `ndev` spans of one codes array
+// in a single call, each span starting at chars starts[d] with lens[d]
+// readable chars (chars past the span's length read as 0). Output layout
+// is ndev consecutive pack_2bit_rowstriped results (nblocks * 8 * spw_pad
+// words each). This is the sharded-sketch packer: it removes both the
+// per-device Python loop and the per-device padded span copies — one pass
+// from the source array straight into the wire buffer.
+void pack_2bit_rowstriped_multi(const uint8_t* codes, const int64_t* starts,
+                                const int64_t* lens, int64_t ndev,
+                                int64_t nblocks, int64_t bc, int64_t c0,
+                                int64_t sp, int64_t spw, int64_t spw_pad,
+                                uint32_t* out) {
+    (void)sp;
+    for (int64_t d = 0; d < ndev; d++) {
+        const uint8_t* src0 = codes + starts[d];
+        const int64_t len = lens[d];
+        uint32_t* od = out + d * nblocks * 8 * spw_pad;
+        for (int64_t b = 0; b < nblocks; b++) {
+            for (int r = 0; r < 8; r++) {
+                uint32_t* ob = od + (b * 8 + r) * spw_pad;
+                for (int64_t m = 0; m < spw_pad; m++) ob[m] = 0;
+                const int64_t row0 = b * bc + r * c0;
+                if (row0 >= len) continue;  // fully past the span: zeros
+                for (int t = 0; t < 16; t++) {
+                    const int64_t off = row0 + (int64_t)t * spw;
+                    int64_t avail = len - off;
+                    if (avail <= 0) continue;
+                    const int64_t mmax = avail < spw ? avail : spw;
+                    const uint8_t* src = src0 + off;
+                    const uint32_t sh = 2 * t;
+                    for (int64_t m = 0; m < mmax; m++)
+                        ob[m] |= ((uint32_t)src[m] & 3u) << sh;
+                }
+            }
+        }
+    }
+}
+
 // One-pass FASTA scan: concatenates record sequences into codes/amb,
 // recording record start offsets. Handles \r\n, multi-line records,
 // lowercase, and arbitrary IUPAC letters (flagged ambiguous).

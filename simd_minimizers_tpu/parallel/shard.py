@@ -241,18 +241,23 @@ def fused_sharded_sketch(
         assert w % 2 == 1, "open syncmers require odd w"
     if hasher.canonical:
         assert l % 2 == 1, f"window length l={l} must be odd to determine strand"
+    from ..ops.backend import _bucket_G
+    from .. import native
+
     skip_ambiguous = ambiguous_np is not None
     nw = n - l + 1
     per_dev = -(-nw // ndev)
     BC = fused.RB * C
-    G = max(1, -(-per_dev // BC))
+    # pow2-bucket the grid like the single-chip dispatch (backend.py): one
+    # compile serves contiguous size classes; dead blocks are gated off at
+    # runtime by the kernel for ~free
+    G = _bucket_G(max(1, -(-per_dev // BC)))
     PADH = fused.padh_for(l)
-    _, SPW, SPW_PAD = fused.rowstriped_geometry(C, PADH)
-    need = fused.rowstriped_need_chars(G, C, PADH)
-    words = np.zeros((ndev, G * fused.RB, SPW_PAD), np.uint32)
-    amb_words = np.zeros(
-        (ndev, G * fused.RB, SPW_PAD) if skip_ambiguous
-        else (ndev, fused.TAIL), np.uint32)
+    SP, SPW, SPW_PAD = fused.rowstriped_geometry(C, PADH)
+    # one native call packs every device span straight from codes_np (no
+    # per-device padded copies, no Python loop over devices)
+    starts = np.zeros(ndev, np.int64)
+    lens = np.zeros(ndev, np.int64)
     nws = np.zeros((ndev, 2), np.int32)
     for d in range(ndev):
         s = d * per_dev
@@ -260,14 +265,16 @@ def fused_sharded_sketch(
         if s >= nw:
             continue
         chars_end = min(e - 1 + l, n)
-        span = np.zeros(need, np.uint8)
-        span[: chars_end - s] = codes_np[s:chars_end]
-        words[d] = fused.pack_rowstriped(span, G, C, PADH)
-        if skip_ambiguous:
-            aspan = np.zeros(need, np.uint8)
-            aspan[: chars_end - s] = ambiguous_np[s:chars_end]
-            amb_words[d] = fused.pack_rowstriped(aspan, G, C, PADH)
+        starts[d] = s
+        lens[d] = chars_end - s
         nws[d] = (e - s, np.asarray(np.uint32(s)).view(np.int32))
+    words = native.pack_2bit_rowstriped_multi(
+        codes_np, starts, lens, G, BC, C, SP, SPW, SPW_PAD)
+    if skip_ambiguous:
+        amb_words = native.pack_2bit_rowstriped_multi(
+            ambiguous_np, starts, lens, G, BC, C, SP, SPW, SPW_PAD)
+    else:
+        amb_words = np.zeros((ndev, fused.TAIL), np.uint32)
     key, table, mul_const = hasher_jit_args(hasher)
     out, idx, count = _jit_fused_sharded(
         jnp.asarray(words), jnp.asarray(amb_words), jnp.asarray(nws),

@@ -56,3 +56,29 @@ def test_fasta_scan_and_read(tmp_path):
     recs2 = read_fasta(str(pg))
     assert len(recs2) == 2
     np.testing.assert_array_equal(recs2[1].codes, recs[1].codes)
+
+
+def test_pack_rowstriped_multi_matches_per_span():
+    """The one-call sharded packer == per-span pack_rowstriped (both the
+    native and the NumPy fallback paths)."""
+    import numpy as np
+
+    from simd_minimizers_tpu import native
+    from simd_minimizers_tpu.ops import fused
+
+    rng = np.random.default_rng(0xABC)
+    codes = rng.integers(0, 4, 300000, dtype=np.uint8)
+    C, G = 1024, 4
+    PADH = fused.padh_for(31)
+    SP, SPW, SPW_PAD = fused.rowstriped_geometry(C, PADH)
+    BC = fused.RB * C
+    need = fused.rowstriped_need_chars(G, C, PADH)
+    starts = np.asarray([0, 90000, 299000, 150000], np.int64)
+    lens = np.asarray([need, 20000, 1000, 0], np.int64)
+    multi = native.pack_2bit_rowstriped_multi(
+        codes, starts, lens, G, BC, C, SP, SPW, SPW_PAD)
+    for d in range(4):
+        span = np.zeros(need, np.uint8)
+        span[: lens[d]] = codes[starts[d] : starts[d] + lens[d]]
+        single = fused.pack_rowstriped(span, G, C, PADH)
+        np.testing.assert_array_equal(multi[d], single, err_msg=f"dev {d}")
