@@ -8,18 +8,15 @@ reproduces all published vectors (tests/test_golden.py), but bit-exactness
 at other k against the real crate is an inference, not a verified fact
 (see PARITY.md "Known risk" and hashers/__init__.py).
 
-This test closes the loop when ground truth becomes available: run the
-crate on any networked machine, dump a JSON fixture, drop it at
-tests/groundtruth.json, and the whole framework is re-certified against it.
+This test closes the loop when ground truth becomes available: run
+`tools/gen_groundtruth.rs` against the real crate on any networked
+machine (copy-paste recipe in its header: cargo new + cargo add
+simd-minimizers@3 + cargo run --release > groundtruth.json), drop the
+output at tests/groundtruth.json, and the whole framework is
+re-certified against it — k in {5, 21, 31, 63}, all three hashers,
+forward + canonical, seeded variants.
 
-Fixture format (produced by e.g. this Rust snippet against the crate):
-
-    // cargo add simd-minimizers serde_json rand
-    use simd_minimizers::*;
-    // for each case: random ACGT string `seq`, params k, w
-    //   positions = canonical_minimizer_positions(
-    //       packed_seq::PackedSeqVec::from_ascii(seq).as_slice(), k, w)
-    //   (or minimizer_positions / seeded hasher variants)
+Fixture format (emitted by tools/gen_groundtruth.rs):
 
     {"cases": [
        {"seq": "ACGT...",          // ASCII ACGT
