@@ -26,7 +26,7 @@ def main():
     ap.add_argument("--rb", type=int, default=8)
     ap.add_argument("--c", type=int, default=4096)
     ap.add_argument("--ablate", default="none",
-                    choices=["none", "decode", "hash", "sel"])
+                    choices=["none", "decode", "hash", "sel", "rank", "pack"])
     ap.add_argument("--n", type=int, default=10**8)
     ap.add_argument("--k", type=int, default=21)
     ap.add_argument("--w", type=int, default=11)
@@ -36,6 +36,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from simd_minimizers_tpu import cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir("jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from simd_minimizers_tpu import native

@@ -255,6 +255,26 @@ def bench_short(quick=False):
         rows.append({"len": n, "ns_per_bp": round(t * 1e9 / n, 3),
                      "us_per_seq": round(t * 1e6, 1)})
         print(f"[short] len={n}: {t*1e6:.0f} us/seq", file=sys.stderr)
+
+    # the measured ON-CHIP floor: a persistent AOT-compiled small program
+    # (DeviceSketcher), m launches enqueued back-to-back, one sync — this
+    # separates the dispatch+compute floor (per_call_us) from the
+    # tunnel's synchronized round trip (sync_us)
+    from simd_minimizers_tpu.ops.device_sketcher import DeviceSketcher
+
+    sk = DeviceSketcher(k, w, h)
+    codes8k = rng.integers(0, 4, 8192, dtype=np.uint8)
+    floor = sk.measure_floor(codes8k, m=50)
+    rows.append({"len": 8192, "persistent_program": True,
+                 "dispatch_floor_us": floor["per_call_us"],
+                 "sync_roundtrip_us": floor["sync_us"],
+                 "ns_per_bp_floor": round(floor["per_call_us"] * 1e3 / 8192, 3),
+                 "note": ("AOT DeviceSketcher: pack+enqueue per call, one "
+                          "sync per 50 calls; sync_roundtrip_us is the "
+                          "tunnel-bound single-call latency")})
+    print(f"[short] len=8192 persistent-program floor: "
+          f"{floor['per_call_us']:.0f} us/call amortized "
+          f"(sync round trip {floor['sync_us']:.0f} us)", file=sys.stderr)
     return rows
 
 
@@ -538,18 +558,67 @@ def bench_human_genome(quick=False):
           file=sys.stderr)
     del words
 
+    # ---- host-streamed end-to-end: pack + transfer OVERLAPPED with
+    # device compute (sketch_long double-buffers spans) vs fully serial.
+    # Through the dev tunnel the transfer (~15 MB/s) dominates both; the
+    # overlap saving = min(pack+harvest, compute) per span. On a real TPU
+    # host (PCIe) the same code hides nearly all pack+transfer time.
+    from simd_minimizers_tpu.ops.fused import _fused_launch, _fused_harvest, sketch_long
+
+    n_h = 200_000_000 if not quick else 50_000_000
+    rng = np.random.default_rng(0xCE)
+    codes_h = rng.integers(0, 4, n_h, dtype=np.uint8)
+    span = 1 << 26  # ~67 Mbp spans: several pipeline stages per run
+    sketch_long(codes_h, k, w, h, span_chars=span, dna=True)  # compile+warm
+
+    def run_overlapped():
+        t0 = time.perf_counter()
+        pos = sketch_long(codes_h, k, w, h, span_chars=span, dna=True)
+        return time.perf_counter() - t0, pos.size
+
+    def run_serial():
+        # identical spans/program, but harvest each span before launching
+        # the next (the pre-overlap behavior)
+        t0 = time.perf_counter()
+        tot, s = 0, 0
+        nw_h = n_h - l + 1
+        Gs = 1 << (-(-min(span - (l - 1), nw_h) // (F.RB * F.DEF_C)) - 1).bit_length()
+        while s < nw_h:
+            e = min(s + span - (l - 1), nw_h)
+            hnd = _fused_launch(codes_h[s : min(e - 1 + l, n_h)], k, w, h,
+                                offset=s, G=Gs, dna=True)
+            tot += _fused_harvest(hnd, "minimizers").size
+            s = e
+        return time.perf_counter() - t0, tot
+
+    w_ov = min(run_overlapped()[0] for _ in range(2))
+    w_se = min(run_serial()[0] for _ in range(2))
+    res.update({
+        "host_streamed_n": n_h,
+        "host_streamed_overlapped_s": round(w_ov, 3),
+        "host_streamed_serial_s": round(w_se, 3),
+        "overlap_speedup": round(w_se / w_ov, 3),
+        "host_streamed_note": (
+            "end-to-end host codes -> positions; spans double-buffered "
+            "(pack+transfer of span i+1 enqueued before span i syncs); "
+            "tunnel transfer dominates in this environment"),
+    })
+    print(f"[human_genome] host-streamed {n_h/1e9:.2f} Gbp: overlapped "
+          f"{w_ov:.2f}s vs serial {w_se:.2f}s ({w_se/w_ov:.2f}x)",
+          file=sys.stderr)
+    del codes_h
+
     # ---- real genome end-to-end when available ----
     try:
         recs = fasta.read_human_genome()
-        from simd_minimizers_tpu.ops.fused import sketch_long
 
         codes = np.concatenate([r.codes for r in recs])
         nr = codes.size
         t0 = time.perf_counter()
-        pos = sketch_long(codes, k, w, h)
+        pos = sketch_long(codes, k, w, h, dna=True)
         wall = time.perf_counter() - t0
         t0 = time.perf_counter()
-        pos = sketch_long(codes, k, w, h)
+        pos = sketch_long(codes, k, w, h, dna=True)
         wall2 = time.perf_counter() - t0
         res.update({
             "source": "chm13", "n_real": nr, "count_real": int(pos.size),

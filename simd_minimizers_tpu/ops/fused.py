@@ -569,6 +569,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 _ablate_out(jnp.where(keep, vals0, INVALID))
                 return
             rank = _flat_cumsum(keep_all.astype(I32), RB + 1, C)
+            if ablate == "rank":
+                _ablate_out(rank)
+                return
             # rank is non-decreasing in flat order: its last element is the
             # total — a (1,1) slice-reduce instead of a full-plane max
             total_new = W + jnp.sum(rank[RB:, C - 1 :])
@@ -617,6 +620,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 if emit_idx:
                     planes.append(plane(tailbuf2, gw))
                 packed = _butterfly(planes, shift, C)
+
+            if ablate == "pack":
+                _ablate_out(packed[0])
+                return
 
             # ---- aligned append: write the full packed block at W ----
             if emit_idx:
@@ -788,7 +795,7 @@ def pack_rowstriped(codes_padded: np.ndarray, G: int, C: int, PADH: int) -> np.n
     return w.reshape(G * RB, SPW_PAD)
 
 
-def fused_sketch(
+def _fused_launch(
     codes_np: np.ndarray,
     k: int,
     w: int,
@@ -801,23 +808,19 @@ def fused_sketch(
     offset: int = 0,
     dna: bool | None = None,
 ):
-    """Whole-sequence sketch through the fused kernel (host convenience).
+    """Pack + transfer + enqueue one fused call WITHOUT synchronizing.
 
-    Returns positions (np.uint32), or (positions, superkmer indices).
-    `G` may over-provision the grid (excess blocks are fully masked), which
-    lets callers bucket grid sizes to bound recompiles. `offset` shifts all
-    emitted positions/window indices (u32), for >2^31-char streaming
-    (sketch_long) and sharding. `dna` selects the 2-bit wire format without
-    scanning the input (True: values are 2-bit codes; False: general text
-    bytes); None falls back to an O(n) host probe.
+    Returns device handles (out, idx, count) or None for an empty input.
+    JAX dispatch is async, so the caller can keep packing/launching the
+    next span on the host while this one computes — the overlap engine
+    behind sketch_long's streaming.
     """
     l = k + w - 1
     n = int(codes_np.shape[0])
     assert n < (1 << 31), "fused kernel handles < 2^31 chars per call (see sketch_long)"
     assert C >= TAIL, f"fused kernel needs C >= {TAIL}"
-    empty = np.zeros(0, dtype=np.uint32)
     if n < l:
-        return (empty, empty) if mode == MODE_SUPERKMERS else empty
+        return None
     nw = n - l + 1
     BC = RB * C
     G = max(G or 1, -(-nw // BC))
@@ -856,17 +859,56 @@ def fused_sketch(
         amb_dev = jnp.zeros(TAIL, jnp.uint32)
     key, table, mul_const = hasher_jit_args(hasher)
     off_bits = np.asarray([np.uint32(offset)], np.uint32).view(np.int32)[0]
-    out, idx, count = _fused_call(
+    return _fused_call(
         codes_dev, amb_dev, jnp.asarray([nw, off_bits], np.int32),
         jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
         k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
         C=C, G=G, interpret=interpret, input_mode=input_mode,
     )
+
+
+def _fused_harvest(handles, mode: str):
+    """Materialize one launch's results on host (the only sync point)."""
+    empty = np.zeros(0, dtype=np.uint32)
+    if handles is None:
+        return (empty, empty) if mode == MODE_SUPERKMERS else empty
+    out, idx, count = handles
     cnt = int(count[0])
     if mode == MODE_SUPERKMERS:
         # slice on device first: only cnt elements cross host<->device
         return np.asarray(out[:max(cnt, 1)][:cnt]), np.asarray(idx[:max(cnt, 1)][:cnt])
     return np.asarray(out[:max(cnt, 1)][:cnt])
+
+
+def fused_sketch(
+    codes_np: np.ndarray,
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = MODE_MINIMIZERS,
+    ambiguous_np: np.ndarray | None = None,
+    C: int = DEF_C,
+    interpret: bool = False,
+    G: int | None = None,
+    offset: int = 0,
+    dna: bool | None = None,
+):
+    """Whole-sequence sketch through the fused kernel (host convenience).
+
+    Returns positions (np.uint32), or (positions, superkmer indices).
+    `G` may over-provision the grid (excess blocks are fully masked), which
+    lets callers bucket grid sizes to bound recompiles. `offset` shifts all
+    emitted positions/window indices (u32), for >2^31-char streaming
+    (sketch_long) and sharding. `dna` selects the 2-bit wire format without
+    scanning the input (True: values are 2-bit codes; False: general text
+    bytes); None falls back to an O(n) host probe.
+    """
+    return _fused_harvest(
+        _fused_launch(codes_np, k, w, hasher, mode=mode,
+                      ambiguous_np=ambiguous_np, C=C, interpret=interpret,
+                      G=G, offset=offset, dna=dna),
+        mode,
+    )
 
 
 def sketch_long(
@@ -888,6 +930,12 @@ def sketch_long(
     spans merge with seam dedup (the multi-shard scheme of
     parallel/multihost.py applied to one device). Mirrors the reference's
     "split inputs over 4 GB chars" guidance (src/sliding_min.rs:96-99).
+
+    Host packing and host->device transfer are OVERLAPPED with device
+    compute: span i+1 is packed and its kernel enqueued (JAX dispatch is
+    async) before span i's results are synchronized, with at most two
+    spans in flight so device memory stays bounded at 2 spans of
+    input + output buffers.
     """
     l = k + w - 1
     n = int(codes_np.shape[0])
@@ -900,24 +948,39 @@ def sketch_long(
                             ambiguous_np=ambiguous_np, C=C, interpret=interpret,
                             dna=dna)
     nw = n - l + 1
+    # one pow2-bucketed grid serves every span (incl. the smaller last
+    # one): a single Mosaic compile for the whole stream
+    span_nw = min(span_chars - (l - 1), nw)
+    Gs = -(-span_nw // (RB * C))
+    Gs = 1 << (Gs - 1).bit_length() if Gs > 1 else 1
     spans = []
     idxs = []
     starts = []
+    pending = []  # (handles,) queue — depth 2 double-buffering
+
+    def harvest_one():
+        res = _fused_harvest(pending.pop(0), mode)
+        if mode == MODE_SUPERKMERS:
+            spans.append(res[0])
+            idxs.append(res[1])
+        else:
+            spans.append(res)
+
     s = 0
     while s < nw:
         starts.append(s)
         e = min(s + span_chars - (l - 1), nw)
         chars_end = min(e - 1 + l, n)
         amb = ambiguous_np[s:chars_end] if ambiguous_np is not None else None
-        res = fused_sketch(codes_np[s:chars_end], k, w, hasher, mode=mode,
-                           ambiguous_np=amb, C=C, offset=s, interpret=interpret,
-                           dna=dna)
-        if mode == MODE_SUPERKMERS:
-            spans.append(res[0])
-            idxs.append(res[1])
-        else:
-            spans.append(res)
+        pending.append(
+            _fused_launch(codes_np[s:chars_end], k, w, hasher, mode=mode,
+                          ambiguous_np=amb, C=C, offset=s, interpret=interpret,
+                          G=Gs, dna=dna))
+        if len(pending) > 1:
+            harvest_one()
         s = e
+    while pending:
+        harvest_one()
     if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
         return np.concatenate(spans)  # window indices never repeat across spans
     from ..parallel.multihost import merge_adjacent_shards

@@ -123,3 +123,48 @@ def test_fused_sharded_interpret():
     h = NtHasher(k, canonical=True)
     got = fused_sharded_sketch(codes, k, w, h, C=1024, interpret=True)
     np.testing.assert_array_equal(got, _want(codes, k, w, h))
+
+
+def test_device_sketcher_matches_oracle():
+    """Pre-compiled short-sequence sketcher (AOT program, donated input)
+    == oracle, incl. the pipelined sketch_many path."""
+    import numpy as np
+
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import oracle
+    from simd_minimizers_tpu.ops.device_sketcher import DeviceSketcher
+
+    rng = np.random.default_rng(0xD5)
+    k, w = 21, 11
+    h = NtHasher(k, canonical=True)
+    sk = DeviceSketcher(k, w, h, interpret=True)
+    seqs = [rng.integers(0, 4, n, dtype=np.uint8)
+            for n in (30, 31, 64, 1024, 8192)]
+    wants = [
+        (oracle.collect_and_dedup(oracle.selected_stream(s, k, w, h))
+         if s.size >= k + w - 1 else np.zeros(0, np.uint32))
+        for s in seqs
+    ]
+    for s, want in zip(seqs, wants):
+        np.testing.assert_array_equal(sk.sketch(s), want)
+    for got, want in zip(sk.sketch_many(seqs), wants):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_device_sketcher_superkmers():
+    import numpy as np
+
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import oracle
+    from simd_minimizers_tpu.ops.device_sketcher import DeviceSketcher
+
+    rng = np.random.default_rng(0xD6)
+    k, w = 5, 7
+    h = NtHasher(k, canonical=True)
+    sk = DeviceSketcher(k, w, h, mode="superkmers", interpret=True)
+    codes = rng.integers(0, 4, 2000, dtype=np.uint8)
+    got_p, got_i = sk.sketch(codes)
+    want_p, want_i = oracle.collect_and_dedup_with_index(
+        oracle.selected_stream(codes, k, w, h))
+    np.testing.assert_array_equal(got_p, want_p)
+    np.testing.assert_array_equal(got_i, want_i)
