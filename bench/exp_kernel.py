@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--fwd", action="store_true")
     ap.add_argument("--input", default="striped2",
                     choices=["striped2", "striped2r"])
+    ap.add_argument("--compact", default="flat", choices=["flat", "rowplace"])
     args = ap.parse_args()
 
     import jax
@@ -65,7 +66,8 @@ def main():
     key, table, mul_const = hasher_jit_args(h)
     ablate = None if args.ablate == "none" else args.ablate
     kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
-              hasher_key=key, C=C, G=G, input_mode=args.input, ablate=ablate)
+              hasher_key=key, C=C, G=G, input_mode=args.input, ablate=ablate,
+              compact=args.compact)
     words = (F.pack_rowstriped(codes, G, C, PADH) if args.input == "striped2r"
              else native.pack_2bit_striped(codes, G, BC, *F.striped_geometry(C)[1:]))
     call_args = (
@@ -94,7 +96,7 @@ def main():
     per_run = (t_many - t_one) / 5
     ns = per_run * 1e9 / n
     print(json.dumps({"rb": args.rb, "C": C, "input": args.input,
-                      "ablate": args.ablate,
+                      "ablate": args.ablate, "compact": args.compact,
                       "k": k, "w": w, "canonical": not args.fwd,
                       "ns_per_bp": round(ns, 4),
                       "compile_s": round(compile_s, 1)}))

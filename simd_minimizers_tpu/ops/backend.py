@@ -70,14 +70,16 @@ def sketch(
                 dna=dna,
             )
         nw = max(n - l + 1, 1)
-        # one geometry for all sizes: measured A/B shows the C=4096 kernel
+        # one geometry for all sizes: measured A/B shows the big-C kernel
         # beats a C=1024 small-block variant even at len 1024 (153 vs
         # 200 us/call) — the per-call floor is launch overhead, not block
-        # compute, so the extra compile variant bought nothing
-        G = _bucket_G(-(-nw // (fused.RB * fused.DEF_C)))
+        # compute, so the extra compile variant bought nothing. C is
+        # mode-aware (superkmers cap at 4096, see fused.def_c_for).
+        C = fused.def_c_for(mode)
+        G = _bucket_G(-(-nw // (fused.RB * C)))
         return fused.fused_sketch(
-            codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np, G=G,
-            dna=dna,
+            codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np,
+            C=C, G=G, dna=dna,
         )
     if n >= l and (n - l + 1) > PIPELINE_CHUNK_WINDOWS:
         from . import chunked

@@ -55,7 +55,17 @@ TOP16 = np.uint32(0xFFFF_0000)
 
 # Block geometry: RB lane-rows of C owned windows per grid step.
 RB = 8
-DEF_C = 4096
+DEF_C = 8192
+# Super-k-mers carry a second (index) plane through the generic flat
+# butterfly, whose packed 16-bit encoding caps C at 4096; every other
+# mode runs the row-local ("rowplace") compaction, whose row-relative
+# encoding supports larger C (fewer blocks -> lower per-block fixed
+# costs; measured win at C=8192, bench/exp_kernel.py).
+DEF_C_SUPERKMERS = 4096
+
+
+def def_c_for(mode: str) -> int:
+    return DEF_C_SUPERKMERS if mode == MODE_SUPERKMERS else DEF_C
 
 
 def _rotl(x, r):
@@ -309,7 +319,7 @@ def rowstriped_geometry(C: int, PADH: int) -> tuple[int, int, int]:
 
 def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                  C, G, PADH, in_mode="striped2", fold_ascii=False, ablate=None,
-                 out_cap=None):
+                 out_cap=None, compact="rowplace"):
     l = k + w - 1
     BC = RB * C
     BCP = (RB + 1) * C  # butterfly width incl. the carried-tail row
@@ -557,17 +567,205 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     keep = keep & (sel != SKIPPED)
                 vals0 = sel
 
-            # ---- compact: prepend carried tail as row 0, rank, butterfly ----
-            # Row 0 holds the rem not-yet-tile-aligned output elements; with
-            # keep=1 they get rank 1..rem and shift 0, so the butterfly
-            # re-packs them at the front and the whole result lands at W.
+            def finish(packed, total_new):
+                """Aligned append of the packed block + SMEM state update
+                (shared by both compaction variants)."""
+                if ablate == "pack":
+                    _ablate_out(packed[0])
+                    return
+                # ---- aligned append: write the full packed block at W ----
+                if emit_idx:
+                    # serial path: the HBM tail re-read needs completed writes
+                    outbuf[:] = packed[0].reshape(BCP)
+                    od = pltpu.make_async_copy(
+                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem)
+                    od.start()
+                    idxbuf[:] = packed[1].reshape(BCP)
+                    od2 = pltpu.make_async_copy(
+                        idxbuf, idx_hbm.at[pl.ds(Wdma, BCP)], sem2)
+                    od2.start()
+                    od2.wait()
+                    od.wait()
+                else:
+                    # pipelined path: the new tail is extracted IN VMEM from
+                    # the just-packed block (out[W'..W'+1024) lies inside
+                    # [W, W+BCP), at a TAIL-aligned offset), so this block's
+                    # write only has to complete before the NEXT block's
+                    # write starts (overlapping regions: g's INVALID tail is
+                    # overwritten by g+1). The wait for write g-1 therefore
+                    # lands after block g's compute.
+                    @pl.when(g > 0)  # g-1's write still reads outbuf
+                    def _():
+                        pltpu.make_async_copy(
+                            outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
+
+                    outbuf[:] = packed[0].reshape(BCP)
+                    W_next = (total_new // TAIL) * TAIL
+                    # new tail = packed flat [delta, delta+TAIL), delta TAIL-
+                    # aligned; dynamic VMEM reads/DMA don't lower, so select
+                    # among the static TAIL-aligned candidate slots.
+                    slot_idx = (W_next - W) // TAIL
+                    acc = jnp.zeros((1, TAIL), U32)
+                    for cslot in range(BCP // TAIL):
+                        rr, col = divmod(cslot * TAIL, C)
+                        cand = packed[0][rr : rr + 1, col : col + TAIL]
+                        acc = jnp.where(slot_idx == cslot, cand, acc)
+                    tailbuf[:] = acc.reshape(TAIL)
+                    od = pltpu.make_async_copy(
+                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem)
+                    od.start()
+
+                    @pl.when(g == G - 1)  # dead blocks otherwise absorb this
+                    def _():
+                        pltpu.make_async_copy(
+                            outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
+
+                state[0] = total_new
+                # seam for the next block: sel of this block's last window
+                # slot ((1,1) slice-reduce; u32 reductions don't lower)
+                sel_bits = pltpu.bitcast(sel, jnp.int32)
+                state[1] = jnp.sum(sel_bits[RB - 1 :, C - 1 :])
+
+            # ---- compact: rank + pack + tail overlay ----
             jt = jax.lax.broadcasted_iota(I32, (1, C), 1)
             keep_t = jt < rem
-            # concat i32, not bool: i1 vectors don't concatenate on Mosaic
-            keep_all = jnp.concatenate([keep_t.astype(I32), keep.astype(I32)], axis=0) != 0
             if ablate == "sel":
                 _ablate_out(jnp.where(keep, vals0, INVALID))
                 return
+
+            # Row-local compaction ("rowplace"): each data row packs its
+            # kept elements locally with a 12-stage in-row butterfly (no
+            # cross-row wrap logic), ranks come from an MXU-assisted
+            # hierarchy (7 intra-128 cumsum stages + chunk-sum / offset /
+            # expand matmuls on bf16 one-hot matrices, exact by
+            # construction), and the packed row prefixes are painted into
+            # the output plane at their scalar flat offsets with one
+            # dynamic pltpu.roll per row. This replaces the flat scheme's
+            # 12-stage full-width cumsum + 16-stage flat butterfly
+            # (measured 0.046 + 0.076 ns/bp at k21 w11 canonical).
+            # Field layout: values are ROW-relative (< C + l), so the
+            # packed (shift | value) plane fits u32 for any C up to 2^13
+            # (VBITS value bits + log2(C) shift bits <= 32) — unlike the
+            # flat scheme, whose block-relative values cap C at 4096.
+            VBITS = (C + l).bit_length()
+            rowplace = (compact == "rowplace") and (not emit_idx) \
+                and C % 128 == 0 and (C & (C - 1)) == 0 and C >= TAIL \
+                and VBITS + (C - 1).bit_length() <= 32
+            if rowplace:
+                VMASK = U32((1 << VBITS) - 1)
+                NCH = C // 128
+                BF16 = jnp.bfloat16
+                base_off = jnp.int32(base).astype(U32) + off
+                # --- intra-128 inclusive cumsum of keep: 7 roll stages ---
+                lane_mod = jax.lax.broadcasted_iota(I32, (RB, C), 1) % 128
+                xint = keep.astype(I32)
+                d = 1
+                while d < 128:
+                    xint = xint + jnp.where(
+                        lane_mod >= d, pltpu.roll(xint, d, axis=1), 0)
+                    d *= 2
+                # --- chunk sums / exclusive chunk offsets on the MXU ---
+                # one-hot matrices built from iotas; all products are 0/1
+                # or small exact bf16 ints with f32 accumulation, so every
+                # dot is bit-exact (chunk sums <= 128; offsets split into
+                # 6-bit bf16 limbs for the expand dot)
+                jE = jax.lax.broadcasted_iota(I32, (C, NCH), 0) // 128
+                mE = jax.lax.broadcasted_iota(I32, (C, NCH), 1)
+                E = (jE == mE).astype(BF16)            # (C, NCH)
+                aT = jax.lax.broadcasted_iota(I32, (NCH, NCH), 0)
+                bT = jax.lax.broadcasted_iota(I32, (NCH, NCH), 1)
+                T = (aT < bT).astype(BF16)             # strict: exclusive scan
+                jE2 = jax.lax.broadcasted_iota(I32, (NCH, C), 1) // 128
+                mE2 = jax.lax.broadcasted_iota(I32, (NCH, C), 0)
+                E2 = (jE2 == mE2).astype(BF16)         # (NCH, C)
+                dn = (((1,), (0,)), ((), ()))
+                ch = jax.lax.dot_general(
+                    keep.astype(BF16), E, dn,
+                    preferred_element_type=jnp.float32)      # (RB, NCH)
+                ch_off = jax.lax.dot_general(
+                    ch.astype(BF16), T, dn,
+                    preferred_element_type=jnp.float32)      # exclusive
+                cho_i = ch_off.astype(I32)                   # <= BC, exact
+                # 8-bit limbs: bf16 represents integers exactly only up
+                # to 256, and cho_i <= C can need up to 14 bits
+                hi = (cho_i >> 8).astype(BF16)               # <= 128
+                lo = (cho_i & 255).astype(BF16)              # <= 255
+                expand = (
+                    jax.lax.dot_general(hi, E2, dn,
+                                        preferred_element_type=jnp.float32)
+                    * jnp.float32(256)
+                    + jax.lax.dot_general(lo, E2, dn,
+                                          preferred_element_type=jnp.float32)
+                ).astype(I32)                                # (RB, C)
+                rank_row = xint + expand                     # inclusive in-row
+                if ablate == "rank":
+                    _ablate_out(rank_row)
+                    return
+                # --- row totals, exclusive row offsets (tail first) ---
+                rt = (ch_off[:, NCH - 1:] + ch[:, NCH - 1:]).astype(I32)
+                rc = rt
+                ri1 = jax.lax.broadcasted_iota(I32, (RB, 1), 0)
+                d = 1
+                while d < RB:
+                    rc = rc + jnp.where(ri1 >= d, pltpu.roll(rc, d, axis=0), 0)
+                    d *= 2
+                ro = rc - rt + rem                           # (RB, 1)
+                total_new = W + rem + jnp.sum(rc[RB - 1:, :])
+                # --- log2(C)-stage row-local packed butterfly ---
+                # shift < C rides bits >= VBITS; the ROW-relative value
+                # (vals0 - rowstart < C + l) rides the low VBITS
+                shift_r = jnp.where(keep, jw - (rank_row - 1), 0)
+                DEADP = VMASK  # > any real row-relative value: no alias
+                rowbase_u = (rw * C).astype(U32)
+                xp = jnp.where(
+                    keep,
+                    ((vals0 - base_off - rowbase_u) & VMASK)
+                    | (shift_r.astype(U32) * U32(1 << VBITS)),
+                    DEADP)
+                d = 1
+                while d < C:
+                    xs = jnp.concatenate(
+                        [xp[:, d:], jnp.full((RB, d), DEADP, U32)], axis=1)
+                    take = ((xs >> U32(VBITS)) & U32(d)) != 0
+                    hole = (((xp >> U32(VBITS)) & U32(d)) != 0) & (~take)
+                    xp = jnp.where(take, xs - U32(d << VBITS),
+                                   jnp.where(hole, DEADP, xp))
+                    d *= 2
+                # --- paint packed rows at their flat offsets ---
+                # re-attach the row base and encode +1 so 0 means empty;
+                # each lane of the rolled row targets output row q or q+1
+                enc = jnp.where(jw < rt,
+                                (xp & VMASK) + rowbase_u + U32(1), U32(0))
+                riP = jax.lax.broadcasted_iota(I32, (RB + 1, C), 0)
+                jP1 = jax.lax.broadcasted_iota(I32, (1, C), 1)
+                logC = C.bit_length() - 1
+                acc = jnp.zeros((RB + 1, C), U32)
+                for r in range(RB):
+                    o = jnp.sum(ro[r : r + 1, :1])           # scalar
+                    q = o >> logC
+                    cc = o - (q << logC)
+                    rolled = pltpu.roll(enc[r : r + 1], cc, axis=1)
+                    rowsel = q + (jP1 < cc).astype(I32)      # (1, C)
+                    acc = acc + jnp.where(riP == rowsel, rolled, U32(0))
+                trow = tailbuf[:].reshape(1, TAIL)
+                if C > TAIL:
+                    trow = jnp.concatenate(
+                        [trow, jnp.full((1, C - TAIL), INVALID, U32)], axis=1)
+                data = jnp.where(acc == U32(0), INVALID,
+                                 acc - U32(1) + base_off)
+                jPfull = jax.lax.broadcasted_iota(I32, (RB + 1, C), 1)
+                tailmask = (riP == 0) & (jPfull < rem)
+                packed = [jnp.where(tailmask, trow, data)]
+                finish(packed, total_new)
+                return
+
+            # ---- flat compact: prepend carried tail as row 0, global rank,
+            # full-width butterfly. Row 0 holds the rem not-yet-tile-aligned
+            # output elements; with keep=1 they get rank 1..rem and shift 0,
+            # so the butterfly re-packs them at the front and the whole
+            # result lands at W.
+            # concat i32, not bool: i1 vectors don't concatenate on Mosaic
+            keep_all = jnp.concatenate([keep_t.astype(I32), keep.astype(I32)], axis=0) != 0
             rank = _flat_cumsum(keep_all.astype(I32), RB + 1, C)
             if ablate == "rank":
                 _ablate_out(rank)
@@ -621,58 +819,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     planes.append(plane(tailbuf2, gw))
                 packed = _butterfly(planes, shift, C)
 
-            if ablate == "pack":
-                _ablate_out(packed[0])
-                return
-
-            # ---- aligned append: write the full packed block at W ----
-            if emit_idx:
-                # serial path: the HBM tail re-read above needs completed writes
-                outbuf[:] = packed[0].reshape(BCP)
-                od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem)
-                od.start()
-                idxbuf[:] = packed[1].reshape(BCP)
-                od2 = pltpu.make_async_copy(idxbuf, idx_hbm.at[pl.ds(Wdma, BCP)], sem2)
-                od2.start()
-                od2.wait()
-                od.wait()
-            else:
-                # pipelined path: the new tail is extracted IN VMEM from the
-                # just-packed block (out[W'..W'+1024) lies inside [W, W+BCP),
-                # at a TAIL-aligned offset), so this block's write only has to
-                # complete before the NEXT block's write starts (overlapping
-                # regions: g's INVALID tail is overwritten by g+1). The wait
-                # for write g-1 therefore lands after block g's compute.
-                @pl.when(g > 0)  # g-1's write still reads outbuf: wait first
-                def _():
-                    pltpu.make_async_copy(
-                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
-
-                outbuf[:] = packed[0].reshape(BCP)
-                W_next = (total_new // TAIL) * TAIL
-                # new tail = packed flat [delta, delta+TAIL), delta TAIL-
-                # aligned; dynamic VMEM reads/DMA don't lower, so select among
-                # the static TAIL-aligned candidate slots (BCP/TAIL of them).
-                slot_idx = (W_next - W) // TAIL
-                acc = jnp.zeros((1, TAIL), U32)
-                for cslot in range(BCP // TAIL):
-                    rr, col = divmod(cslot * TAIL, C)
-                    cand = packed[0][rr : rr + 1, col : col + TAIL]
-                    acc = jnp.where(slot_idx == cslot, cand, acc)
-                tailbuf[:] = acc.reshape(TAIL)
-                od = pltpu.make_async_copy(outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem)
-                od.start()
-
-                @pl.when(g == G - 1)  # dead blocks otherwise absorb this wait
-                def _():
-                    pltpu.make_async_copy(
-                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
-
-            state[0] = total_new
-            # seam for the next block: sel of this block's last window slot
-            # ((1,1) slice-reduce; u32 reductions don't lower: i32 bits)
-            sel_bits = pltpu.bitcast(sel, jnp.int32)
-            state[1] = jnp.sum(sel_bits[RB - 1 :, C - 1 :])
+            finish(packed, total_new)
 
         @pl.when(active)
         def _():
@@ -688,7 +835,8 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
 def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
                    *, k, w, mode, skip_ambiguous, hasher_key, C, G,
                    interpret=False, packed_input=None, input_mode=None,
-                   fold_ascii=False, ablate=None, out_cap=None):
+                   fold_ascii=False, ablate=None, out_cap=None,
+                   compact="rowplace"):
     """Raw pallas_call invocation (composable inside shard_map/jit).
 
     input_mode: "striped2" (2-bit DNA words), "striped8" (raw ASCII bytes,
@@ -704,7 +852,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
     kernel, SLAB, BC, SP = _make_kernel(
         k, w, mode, skip_ambiguous, kind, canonical, rot_offset, C, G, PADH,
         in_mode=input_mode, fold_ascii=fold_ascii, ablate=ablate,
-        out_cap=out_cap,
+        out_cap=out_cap, compact=compact,
     )
     BCP = (RB + 1) * C
     cap = G * BC + BCP + TAIL
@@ -771,7 +919,7 @@ _fused_call = jax.jit(
     _invoke_pallas,
     static_argnames=("k", "w", "mode", "skip_ambiguous", "hasher_key", "C", "G",
                      "interpret", "packed_input", "input_mode", "fold_ascii",
-                     "ablate", "out_cap"),
+                     "ablate", "out_cap", "compact"),
 )
 
 
@@ -802,7 +950,7 @@ def _fused_launch(
     hasher: KmerHasher,
     mode: str = MODE_MINIMIZERS,
     ambiguous_np: np.ndarray | None = None,
-    C: int = DEF_C,
+    C: int | None = None,
     interpret: bool = False,
     G: int | None = None,
     offset: int = 0,
@@ -815,6 +963,7 @@ def _fused_launch(
     next span on the host while this one computes — the overlap engine
     behind sketch_long's streaming.
     """
+    C = C or def_c_for(mode)
     l = k + w - 1
     n = int(codes_np.shape[0])
     assert n < (1 << 31), "fused kernel handles < 2^31 chars per call (see sketch_long)"
@@ -887,7 +1036,7 @@ def fused_sketch(
     hasher: KmerHasher,
     mode: str = MODE_MINIMIZERS,
     ambiguous_np: np.ndarray | None = None,
-    C: int = DEF_C,
+    C: int | None = None,
     interpret: bool = False,
     G: int | None = None,
     offset: int = 0,
@@ -918,7 +1067,7 @@ def sketch_long(
     hasher: KmerHasher,
     mode: str = MODE_MINIMIZERS,
     ambiguous_np: np.ndarray | None = None,
-    C: int = DEF_C,
+    C: int | None = None,
     span_chars: int = 1 << 29,
     interpret: bool = False,
     dna: bool | None = None,
@@ -948,6 +1097,7 @@ def sketch_long(
                             ambiguous_np=ambiguous_np, C=C, interpret=interpret,
                             dna=dna)
     nw = n - l + 1
+    C = C or def_c_for(mode)
     # one pow2-bucketed grid serves every span (incl. the smaller last
     # one): a single Mosaic compile for the whole stream
     span_nw = min(span_chars - (l - 1), nw)
