@@ -58,6 +58,13 @@ def main():
     if "short" in res:
         print("== short sequences: per-call latency (single seq) ==")
         for r in res["short"]:
+            if r.get("persistent_program"):
+                print(f"  len {r['len']:>8}: persistent AOT program — "
+                      f"{r['dispatch_floor_us']:.0f} us/call with transfer, "
+                      f"{r.get('device_floor_us') or float('nan'):.0f} us "
+                      f"on-chip floor, {r['sync_roundtrip_us']:.0f} us "
+                      f"sync round trip")
+                continue
             print(f"  len {r['len']:>8}: {r['us_per_seq']:>9.1f} us/seq "
                   f"({r['ns_per_bp']:.2f} ns/bp)")
         print()

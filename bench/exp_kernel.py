@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--fwd", action="store_true")
     ap.add_argument("--input", default="striped2",
                     choices=["striped2", "striped2r"])
-    ap.add_argument("--compact", default="flat", choices=["flat", "rowplace"])
+    ap.add_argument("--compact", default="flat", choices=["flat", "rowplace", "rowplace4"])
     args = ap.parse_args()
 
     import jax

@@ -262,18 +262,24 @@ def bench_short(quick=False):
     # tunnel's synchronized round trip (sync_us)
     from simd_minimizers_tpu.ops.device_sketcher import DeviceSketcher
 
-    sk = DeviceSketcher(k, w, h)
+    sk = DeviceSketcher(k, w, h, donate=False)
     codes8k = rng.integers(0, 4, 8192, dtype=np.uint8)
     floor = sk.measure_floor(codes8k, m=50)
     rows.append({"len": 8192, "persistent_program": True,
                  "dispatch_floor_us": floor["per_call_us"],
+                 "device_floor_us": floor.get("device_floor_us"),
                  "sync_roundtrip_us": floor["sync_us"],
-                 "ns_per_bp_floor": round(floor["per_call_us"] * 1e3 / 8192, 3),
-                 "note": ("AOT DeviceSketcher: pack+enqueue per call, one "
-                          "sync per 50 calls; sync_roundtrip_us is the "
-                          "tunnel-bound single-call latency")})
-    print(f"[short] len=8192 persistent-program floor: "
-          f"{floor['per_call_us']:.0f} us/call amortized "
+                 "ns_per_bp_device_floor": round(
+                     floor.get("device_floor_us", 0) * 1e3 / 8192, 3),
+                 "note": ("AOT DeviceSketcher: dispatch_floor pays a "
+                          "per-call input transfer over the tunnel; "
+                          "device_floor re-invokes the compiled program "
+                          "on a pre-staged device input (dispatch + "
+                          "compute only); sync_roundtrip is one "
+                          "synchronized tunnel round trip")})
+    print(f"[short] len=8192 persistent-program: "
+          f"{floor['per_call_us']:.0f} us/call with transfer, "
+          f"{floor.get('device_floor_us', -1):.0f} us on-chip floor "
           f"(sync round trip {floor['sync_us']:.0f} us)", file=sys.stderr)
     return rows
 

@@ -67,6 +67,7 @@ class DeviceSketcher:
             F._invoke_pallas, k=k, w=w, mode=mode, skip_ambiguous=False,
             hasher_key=key, C=C, G=1, interpret=interpret,
             input_mode="striped2r")
+        self._donate = donate
         jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())
         words0 = jnp.zeros((F.RB, SPW_PAD), jnp.uint32)
         nw0 = jnp.asarray([1, 0], np.int32)
@@ -126,12 +127,20 @@ class DeviceSketcher:
     # -- measurement --------------------------------------------------------
     def measure_floor(self, codes_np: np.ndarray, m: int = 50,
                       probes: int = 3) -> dict:
-        """On-chip per-call floor: enqueue m launches back-to-back, sync
-        once; per-call = (t_many - t_one) / (m - 1). This cancels the
-        tunnel's fixed sync latency, isolating dispatch + device compute.
-        Returns {"per_call_us", "sync_us"}: the amortized floor and the
-        single synchronized round-trip cost for comparison."""
+        """On-chip per-call floor, three numbers:
+
+        - sync_us: one synchronized call (pack + transfer + compute +
+          host round trip) — tunnel-bound in this environment;
+        - per_call_us: m launches enqueued back-to-back, one sync —
+          cancels the sync latency but still pays a per-call host->device
+          input transfer;
+        - device_floor_us: the same compiled program re-invoked m times
+          on a PRE-STAGED device input (requires donate=False) — pure
+          dispatch + device compute, the true on-chip floor.
+        """
         import time
+
+        import jax.numpy as jnp
 
         self.harvest(self.launch(codes_np))  # warm
 
@@ -145,7 +154,29 @@ class DeviceSketcher:
 
         t_one = min(batch(1) for _ in range(probes))
         t_many = min(batch(m) for _ in range(probes))
-        return {
+        res = {
             "per_call_us": round((t_many - t_one) / (m - 1) * 1e6, 1),
             "sync_us": round(t_one * 1e6, 1),
         }
+        if not self._donate:
+            n = int(codes_np.shape[0])
+            buf = np.zeros(self._need, np.uint8)
+            buf[:n] = codes_np
+            words = jnp.asarray(self._pack(buf, 1, self._C, self._PADH))
+            nw = jnp.asarray([n - self._l + 1, 0], np.int32)
+
+            def batch_dev(mm):
+                t0 = time.perf_counter()
+                h = None
+                for _ in range(mm):
+                    h = self._compiled(words, self._amb, nw, self._tab,
+                                       self._mc)
+                int(h[2][0])
+                return time.perf_counter() - t0
+
+            batch_dev(1)
+            td_one = min(batch_dev(1) for _ in range(probes))
+            td_many = min(batch_dev(m) for _ in range(probes))
+            res["device_floor_us"] = round(
+                (td_many - td_one) / (m - 1) * 1e6, 1)
+        return res

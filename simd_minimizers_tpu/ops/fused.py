@@ -648,7 +648,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             # (VBITS value bits + log2(C) shift bits <= 32) — unlike the
             # flat scheme, whose block-relative values cap C at 4096.
             VBITS = (C + l).bit_length()
-            rowplace = (compact == "rowplace") and (not emit_idx) \
+            rowplace = compact in ("rowplace", "rowplace4") and (not emit_idx) \
                 and C % 128 == 0 and (C & (C - 1)) == 0 and C >= TAIL \
                 and VBITS + (C - 1).bit_length() <= 32
             if rowplace:
@@ -722,15 +722,54 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     ((vals0 - base_off - rowbase_u) & VMASK)
                     | (shift_r.astype(U32) * U32(1 << VBITS)),
                     DEADP)
-                d = 1
-                while d < C:
-                    xs = jnp.concatenate(
-                        [xp[:, d:], jnp.full((RB, d), DEADP, U32)], axis=1)
-                    take = ((xs >> U32(VBITS)) & U32(d)) != 0
-                    hole = (((xp >> U32(VBITS)) & U32(d)) != 0) & (~take)
-                    xp = jnp.where(take, xs - U32(d << VBITS),
-                                   jnp.where(hole, DEADP, xp))
-                    d *= 2
+                def rollrow(x, dd):
+                    if dd >= C:
+                        return jnp.full((RB, C), DEADP, U32)
+                    return jnp.concatenate(
+                        [x[:, dd:], jnp.full((RB, dd), DEADP, U32)], axis=1)
+
+                if compact == "rowplace4":
+                    # radix-4: half the stages, 3 rolls + a 4-way select
+                    # each. Collision-free by the same monotone rank-shift
+                    # argument as radix-2 (two candidates claiming one
+                    # slot would need a shift difference outside
+                    # [0, pos_gap - 1], impossible for dedup'd ranks).
+                    # MEASURED SLOWER than radix-2 (0.1902 vs 0.1787
+                    # ns/bp at C=8192): the extra rolls cost more than
+                    # the stages saved. Kept as a documented experiment
+                    # (bench/exp_kernel.py --compact rowplace4).
+                    sbit = 0  # bit offset of this stage's base-4 digit
+                    d = 1
+                    while d < C:
+                        xs1 = rollrow(xp, d)
+                        xs2 = rollrow(xp, 2 * d)
+                        xs3 = rollrow(xp, 3 * d)
+
+                        def dig(x):
+                            return (x >> U32(VBITS + sbit)) & U32(3)
+
+                        t1 = dig(xs1) == U32(1)
+                        t2 = dig(xs2) == U32(2)
+                        t3 = dig(xs3) == U32(3)
+                        hole = (dig(xp) != U32(0)) & (~(t1 | t2 | t3))
+                        xp = jnp.where(
+                            t3, xs3 - U32((3 * d) << VBITS),
+                            jnp.where(
+                                t2, xs2 - U32((2 * d) << VBITS),
+                                jnp.where(
+                                    t1, xs1 - U32(d << VBITS),
+                                    jnp.where(hole, DEADP, xp))))
+                        d *= 4
+                        sbit += 2
+                else:
+                    d = 1
+                    while d < C:
+                        xs = rollrow(xp, d)
+                        take = ((xs >> U32(VBITS)) & U32(d)) != 0
+                        hole = (((xp >> U32(VBITS)) & U32(d)) != 0) & (~take)
+                        xp = jnp.where(take, xs - U32(d << VBITS),
+                                       jnp.where(hole, DEADP, xp))
+                        d *= 2
                 # --- paint packed rows at their flat offsets ---
                 # re-attach the row base and encode +1 so 0 means empty;
                 # each lane of the rolled row targets output row q or q+1
