@@ -68,6 +68,16 @@ def def_c_for(mode: str) -> int:
     return DEF_C_SUPERKMERS if mode == MODE_SUPERKMERS else DEF_C
 
 
+def _rowplace_enabled(mode: str, compact: str, C: int, l: int) -> bool:
+    # Whether the row-local compaction applies (shared by the kernel
+    # body and the scratch-shape declaration in _invoke_pallas).
+    VBITS = (C + l).bit_length()
+    return (compact in ("rowplace", "rowplace4")
+            and mode != MODE_SUPERKMERS
+            and C % 128 == 0 and (C & (C - 1)) == 0 and C >= TAIL
+            and VBITS + (C - 1).bit_length() <= 32)
+
+
 def _rotl(x, r):
     """rotl32 of uint32 x by r (static int or uint32 array mod 32)."""
     if isinstance(r, int):
@@ -338,16 +348,35 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     out_cap = full_cap if out_cap is None else min(out_cap, full_cap)
     W_MAX = out_cap - BCP - TAIL  # TAIL-aligned by construction below
 
+    rowplace_k = _rowplace_enabled(mode, compact, C, l)
+    NCH_K = C // 128 if rowplace_k else 0
+
     def kernel(nw_ref, tab_ref, mul_ref, codes_hbm, amb_hbm,
                out_hbm, idx_hbm, count_ref,
                slab0, slab1, amb_slab, outbuf, idxbuf, tailbuf, tailbuf2,
-               state, sem_in, sem, sem2):
+               state, *rest):
+        if rowplace_k:
+            e_scr, e2_scr, sem_in, sem, sem2 = rest
+        else:
+            e_scr = e2_scr = None
+            sem_in, sem, sem2 = rest
         g = pl.program_id(0)
 
         @pl.when(g == 0)
         def _():
             state[0] = 0  # total kept
             state[1] = -1  # dedup seam: INVALID (0xffffffff) as i32 bits
+            if rowplace_k:
+                # one-hot expand/collapse matrices for the MXU rank are
+                # grid-invariant; build ONCE into VMEM scratch (Mosaic
+                # does not hoist across grid steps — rebuilding the
+                # ~1M-element (C, NCH) planes per block measurably costs)
+                jE = jax.lax.broadcasted_iota(I32, (C, NCH_K), 0) // 128
+                mE = jax.lax.broadcasted_iota(I32, (C, NCH_K), 1)
+                e_scr[...] = (jE == mE).astype(jnp.bfloat16)
+                jE2 = jax.lax.broadcasted_iota(I32, (NCH_K, C), 1) // 128
+                mE2 = jax.lax.broadcasted_iota(I32, (NCH_K, C), 0)
+                e2_scr[...] = (jE2 == mE2).astype(jnp.bfloat16)
 
         # Active-block gating: grids are power-of-two bucketed to bound
         # Mosaic recompiles, so G may over-provision. Active blocks form a
@@ -648,10 +677,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             # (VBITS value bits + log2(C) shift bits <= 32) — unlike the
             # flat scheme, whose block-relative values cap C at 4096.
             VBITS = (C + l).bit_length()
-            rowplace = compact in ("rowplace", "rowplace4") and (not emit_idx) \
-                and C % 128 == 0 and (C & (C - 1)) == 0 and C >= TAIL \
-                and VBITS + (C - 1).bit_length() <= 32
-            if rowplace:
+            if rowplace_k:
                 VMASK = U32((1 << VBITS) - 1)
                 NCH = C // 128
                 BF16 = jnp.bfloat16
@@ -665,19 +691,16 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         lane_mod >= d, pltpu.roll(xint, d, axis=1), 0)
                     d *= 2
                 # --- chunk sums / exclusive chunk offsets on the MXU ---
-                # one-hot matrices built from iotas; all products are 0/1
-                # or small exact bf16 ints with f32 accumulation, so every
-                # dot is bit-exact (chunk sums <= 128; offsets split into
-                # 6-bit bf16 limbs for the expand dot)
-                jE = jax.lax.broadcasted_iota(I32, (C, NCH), 0) // 128
-                mE = jax.lax.broadcasted_iota(I32, (C, NCH), 1)
-                E = (jE == mE).astype(BF16)            # (C, NCH)
+                # one-hot matrices cached in VMEM scratch at g==0; all
+                # products are 0/1 or small exact bf16 ints with f32
+                # accumulation, so every dot is bit-exact (chunk sums
+                # <= 128; offsets split into 8-bit bf16 limbs for the
+                # expand dot). T is (NCH, NCH)-tiny: built per block.
+                E = e_scr[...]                         # (C, NCH)
+                E2 = e2_scr[...]                       # (NCH, C)
                 aT = jax.lax.broadcasted_iota(I32, (NCH, NCH), 0)
                 bT = jax.lax.broadcasted_iota(I32, (NCH, NCH), 1)
                 T = (aT < bT).astype(BF16)             # strict: exclusive scan
-                jE2 = jax.lax.broadcasted_iota(I32, (NCH, C), 1) // 128
-                mE2 = jax.lax.broadcasted_iota(I32, (NCH, C), 0)
-                E2 = (jE2 == mE2).astype(BF16)         # (NCH, C)
                 dn = (((1,), (0,)), ((), ()))
                 ch = jax.lax.dot_general(
                     keep.astype(BF16), E, dn,
@@ -937,6 +960,11 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             pltpu.VMEM((TAIL,), jnp.uint32),
             pltpu.VMEM((TAIL,), jnp.uint32),
             pltpu.SMEM((2,), jnp.int32),
+        ] + ([
+            # grid-invariant one-hot rank matrices, filled once at g==0
+            pltpu.VMEM((C, C // 128), jnp.bfloat16),
+            pltpu.VMEM((C // 128, C), jnp.bfloat16),
+        ] if _rowplace_enabled(mode, compact, C, l) else []) + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
