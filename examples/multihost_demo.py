@@ -41,6 +41,21 @@ got = multihost.multihost_sketch(codes, k, w, h)
 want = oracle.collect_and_dedup(oracle.selected_stream(codes, k, w, h))
 np.testing.assert_array_equal(got, want)
 print(f"[process {jax.process_index()}] {got.size} positions, bit-exact", flush=True)
+
+# non-minimizer modes across REAL processes: the tuple-aware ragged
+# all-gather (superkmers) and the skip-ambiguous seam merge
+got_p, got_i = multihost.multihost_sketch(codes, k, w, h, mode="superkmers")
+want_p, want_i = oracle.collect_and_dedup_with_index(
+    oracle.selected_stream(codes, k, w, h))
+np.testing.assert_array_equal(got_p, want_p)
+np.testing.assert_array_equal(got_i, want_i)
+amb = (rng.random(n) < 0.005).astype(np.uint8)
+got_a = multihost.multihost_sketch(codes, k, w, h, ambiguous_np=amb)
+want_a = oracle.collect_and_dedup(
+    oracle.selected_stream(codes, k, w, h, ambiguous=amb), skip_sentinel=True)
+np.testing.assert_array_equal(got_a, want_a)
+print(f"[process {jax.process_index()}] superkmers + skip-ambiguous bit-exact",
+      flush=True)
 """
 
 
