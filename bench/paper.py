@@ -257,12 +257,12 @@ def bench_short(quick=False):
         print(f"[short] len={n}: {t*1e6:.0f} us/seq", file=sys.stderr)
 
     # the measured ON-CHIP floor: a persistent AOT-compiled small program
-    # (DeviceSketcher), m launches enqueued back-to-back, one sync — this
+    # (ShortSeqSketcher), m launches enqueued back-to-back, one sync — this
     # separates the dispatch+compute floor (per_call_us) from the
     # tunnel's synchronized round trip (sync_us)
-    from simd_minimizers_tpu.ops.device_sketcher import DeviceSketcher
+    from simd_minimizers_tpu.ops.device_sketcher import ShortSeqSketcher
 
-    sk = DeviceSketcher(k, w, h, donate=False)
+    sk = ShortSeqSketcher(k, w, h, donate=False)
     codes8k = rng.integers(0, 4, 8192, dtype=np.uint8)
     floor = sk.measure_floor(codes8k, m=50)
     rows.append({"len": 8192, "persistent_program": True,
@@ -271,7 +271,7 @@ def bench_short(quick=False):
                  "sync_roundtrip_us": floor["sync_us"],
                  "ns_per_bp_device_floor": round(
                      floor.get("device_floor_us", 0) * 1e3 / 8192, 3),
-                 "note": ("AOT DeviceSketcher: dispatch_floor pays a "
+                 "note": ("AOT ShortSeqSketcher: dispatch_floor pays a "
                           "per-call input transfer over the tunnel; "
                           "device_floor re-invokes the compiled program "
                           "on a pre-staged device input (dispatch + "

@@ -228,6 +228,13 @@ def _builder_run_batch(self, reads, ambiguous=None):
     from .ops import backend, pipeline
     from .seq.packed import GenericSeq
 
+    # same unrepresentable combination as run(): super-kmers never carry
+    # an ambiguity stream (/root/reference/src/lib.rs:498-503)
+    assert not (self._super_kmers and ambiguous is not None), (
+        "super_kmers cannot be combined with an ambiguity mask "
+        "(unsupported in the reference; run without super_kmers "
+        "or pre-split the reads at ambiguous bases)"
+    )
     seqs = [as_seq(r) for r in reads]
     codes = [s.codes() for s in seqs]
     # the seq types decide DNA vs general text exactly — no O(n) probe

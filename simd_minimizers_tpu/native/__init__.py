@@ -84,7 +84,7 @@ def pack_ascii(ascii_arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     codes = np.empty(n, np.uint8)
     amb = np.empty(n, np.uint8)
     if lib is not None and n:
-        ascii_arr = np.ascontiguousarray(ascii_arr)
+        ascii_arr = np.ascontiguousarray(ascii_arr, np.uint8)
         lib.pack_ascii(_ptr(ascii_arr), n, _ptr(codes), _ptr(amb))
         return codes, amb
     codes = ((ascii_arr >> 1) & 3).astype(np.uint8)
@@ -98,7 +98,7 @@ def pack_2bit(codes: np.ndarray) -> np.ndarray:
     out = np.zeros((n + 3) // 4, np.uint8)
     lib = _build_and_load()
     if lib is not None and n:
-        codes = np.ascontiguousarray(codes)
+        codes = np.ascontiguousarray(codes, np.uint8)
         lib.pack_2bit(_ptr(codes), n, _ptr(out))
         return out
     pad = (-n) % 4
@@ -120,7 +120,7 @@ def fasta_scan(buf: np.ndarray, max_records: int = 1 << 20):
     amb = np.empty(n, np.uint8)
     starts = np.empty(max_records + 1, np.int64)
     if lib is not None:
-        buf = np.ascontiguousarray(buf)
+        buf = np.ascontiguousarray(buf, np.uint8)
         nrec = lib.fasta_scan(_ptr(buf), n, _ptr(codes), _ptr(amb),
                               _ptr(starts), max_records)
         if nrec < 0:
@@ -172,7 +172,7 @@ def pack_2bit_rowstriped(codes: np.ndarray, nblocks: int, bc: int, c0: int,
     lib = _build_and_load()
     out = np.zeros(nblocks * 8 * spw_pad, np.uint32)
     if lib is not None and nblocks:
-        codes = np.ascontiguousarray(codes)
+        codes = np.ascontiguousarray(codes, np.uint8)
         lib.pack_2bit_rowstriped(_ptr(codes), nblocks, bc, c0, sp, spw,
                                  spw_pad, _ptr(out))
         return out
@@ -203,13 +203,16 @@ def pack_2bit_rowstriped_multi(codes: np.ndarray, starts: np.ndarray,
     lib = _build_and_load()
     out = np.zeros(ndev * nblocks * 8 * spw_pad, np.uint32)
     if lib is not None and ndev and nblocks:
-        codes = np.ascontiguousarray(codes)
+        codes = np.ascontiguousarray(codes, np.uint8)
         lib.pack_2bit_rowstriped_multi(_ptr(codes), _ptr(starts), _ptr(lens),
                                        ndev, nblocks, bc, c0, sp, spw,
                                        spw_pad, _ptr(out))
         return out.reshape(ndev, nblocks * 8, spw_pad)
     out3 = out.reshape(ndev, nblocks * 8, spw_pad)
-    need = (nblocks - 1) * bc + 7 * c0 + 16 * spw if nblocks else 0
+    # chars one span exposes = fused.rowstriped_need_chars(nblocks, C, PADH)
+    # derived from the call's own geometry (rows = bc // c0 = RB)
+    rows = bc // c0
+    need = (nblocks - 1) * bc + (rows - 1) * c0 + 16 * spw if nblocks else 0
     for d in range(ndev):
         span = np.zeros(max(need, 0), np.uint8)
         ln = int(lens[d])
@@ -226,7 +229,7 @@ def pack_bytes_striped(codes: np.ndarray, nblocks: int, bc: int,
     lib = _build_and_load()
     out = np.zeros(nblocks * slabw_pad, np.uint32)
     if lib is not None and nblocks:
-        codes = np.ascontiguousarray(codes)
+        codes = np.ascontiguousarray(codes, np.uint8)
         lib.pack_bytes_striped(_ptr(codes), nblocks, bc, slabw, slabw_pad, _ptr(out))
         return out
     out2 = out.reshape(nblocks, slabw_pad)
@@ -249,7 +252,7 @@ def pack_2bit_striped(codes: np.ndarray, nblocks: int, bc: int,
     lib = _build_and_load()
     out = np.zeros(nblocks * slabw_pad, np.uint32)
     if lib is not None and nblocks:
-        codes = np.ascontiguousarray(codes)
+        codes = np.ascontiguousarray(codes, np.uint8)
         lib.pack_2bit_striped(_ptr(codes), nblocks, bc, slabw, slabw_pad, _ptr(out))
         return out
     # vectorized fallback: overlapping block view via stride tricks

@@ -39,7 +39,7 @@ from ..hashers import KmerHasher
 from .pipeline import MODE_MINIMIZERS, MODE_SUPERKMERS, hasher_jit_args
 
 
-class DeviceSketcher:
+class ShortSeqSketcher:
     """Pre-compiled fixed-geometry fused-kernel program for short inputs."""
 
     def __init__(self, k: int, w: int, hasher: KmerHasher,
@@ -83,7 +83,7 @@ class DeviceSketcher:
 
         n = int(codes_np.shape[0])
         assert n <= self.max_chars, (
-            f"DeviceSketcher(C={self._C}) handles up to {self.max_chars} "
+            f"ShortSeqSketcher(C={self._C}) handles up to {self.max_chars} "
             f"chars; route longer inputs through backend.sketch")
         if n < self._l:
             return None

@@ -155,15 +155,14 @@ def _allgather_ragged(mine: np.ndarray, nproc: int) -> list[np.ndarray]:
     """
     from jax.experimental import multihost_utils
 
-    cap = max(
-        int(multihost_utils.process_allgather(
-            np.asarray([mine.size], np.int64)).max()),
-        1,
-    )
+    # one counts exchange serves both the pad size and the slicing —
+    # process_allgather is a full DCN barrier, so don't issue it twice
+    all_cnts = multihost_utils.process_allgather(
+        np.asarray([mine.size], np.int64))  # (nproc, 1)
+    cap = max(int(all_cnts.max()), 1)
     buf = np.full(cap, 0xFFFFFFFF, np.uint32)
     buf[: mine.size] = mine
     all_bufs = multihost_utils.process_allgather(buf)  # (nproc, cap)
-    all_cnts = multihost_utils.process_allgather(np.asarray([mine.size], np.int64))
     return [all_bufs[p, : int(all_cnts[p, 0])] for p in range(nproc)]
 
 

@@ -246,3 +246,13 @@ def test_public_api_never_probes_input_on_host(monkeypatch):
         [sm.PackedSeqVec.from_codes(RNG.integers(0, 4, 64, dtype=np.uint8))
          for _ in range(3)])
     assert rid.size > 0
+
+
+def test_run_batch_rejects_superkmers_ambiguity():
+    """run_batch must enforce the same unrepresentable combination as
+    run() (/root/reference/src/lib.rs:498-503)."""
+    codes = RNG.integers(0, 4, 200, dtype=np.uint8)
+    amb = np.zeros(200, np.uint8)
+    b = sm.canonical_minimizers(5, 7).super_kmers()
+    with pytest.raises(AssertionError, match="super_kmers"):
+        b.run_batch([codes], ambiguous=[amb])

@@ -132,12 +132,12 @@ def test_device_sketcher_matches_oracle():
 
     from simd_minimizers_tpu.hashers import NtHasher
     from simd_minimizers_tpu.ops import oracle
-    from simd_minimizers_tpu.ops.device_sketcher import DeviceSketcher
+    from simd_minimizers_tpu.ops.device_sketcher import ShortSeqSketcher
 
     rng = np.random.default_rng(0xD5)
     k, w = 21, 11
     h = NtHasher(k, canonical=True)
-    sk = DeviceSketcher(k, w, h, interpret=True)
+    sk = ShortSeqSketcher(k, w, h, interpret=True)
     seqs = [rng.integers(0, 4, n, dtype=np.uint8)
             for n in (30, 31, 64, 1024, 8192)]
     wants = [
@@ -156,12 +156,12 @@ def test_device_sketcher_superkmers():
 
     from simd_minimizers_tpu.hashers import NtHasher
     from simd_minimizers_tpu.ops import oracle
-    from simd_minimizers_tpu.ops.device_sketcher import DeviceSketcher
+    from simd_minimizers_tpu.ops.device_sketcher import ShortSeqSketcher
 
     rng = np.random.default_rng(0xD6)
     k, w = 5, 7
     h = NtHasher(k, canonical=True)
-    sk = DeviceSketcher(k, w, h, mode="superkmers", interpret=True)
+    sk = ShortSeqSketcher(k, w, h, mode="superkmers", interpret=True)
     codes = rng.integers(0, 4, 2000, dtype=np.uint8)
     got_p, got_i = sk.sketch(codes)
     want_p, want_i = oracle.collect_and_dedup_with_index(
