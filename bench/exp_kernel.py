@@ -26,14 +26,14 @@ def main():
     ap.add_argument("--rb", type=int, default=8)
     ap.add_argument("--c", type=int, default=4096)
     ap.add_argument("--ablate", default="none",
-                    choices=["none", "decode", "hash", "sel", "rank", "pack"])
+                    choices=["none", "decode", "hash", "sel", "rank", "bfly", "pack"])
     ap.add_argument("--n", type=int, default=10**8)
     ap.add_argument("--k", type=int, default=21)
     ap.add_argument("--w", type=int, default=11)
     ap.add_argument("--fwd", action="store_true")
     ap.add_argument("--input", default="striped2",
                     choices=["striped2", "striped2r"])
-    ap.add_argument("--compact", default="flat", choices=["flat", "rowplace", "rowplace4"])
+    ap.add_argument("--compact", default="flat", choices=["flat", "rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu"])
     args = ap.parse_args()
 
     import jax

@@ -68,11 +68,14 @@ def def_c_for(mode: str) -> int:
     return DEF_C_SUPERKMERS if mode == MODE_SUPERKMERS else DEF_C
 
 
+ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu")
+
+
 def _rowplace_enabled(mode: str, compact: str, C: int, l: int) -> bool:
     # Whether the row-local compaction applies (shared by the kernel
     # body and the scratch-shape declaration in _invoke_pallas).
     VBITS = (C + l).bit_length()
-    return (compact in ("rowplace", "rowplace4")
+    return (compact in ROW_COMPACTS
             and mode != MODE_SUPERKMERS
             and C % 128 == 0 and (C & (C - 1)) == 0 and C >= TAIL
             and VBITS + (C - 1).bit_length() <= 32)
@@ -355,8 +358,12 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                out_hbm, idx_hbm, count_ref,
                slab0, slab1, amb_slab, outbuf, idxbuf, tailbuf, tailbuf2,
                state, *rest):
+        p_scr = None
         if rowplace_k:
-            e_scr, e2_scr, sem_in, sem, sem2 = rest
+            if compact in ("rowmxu", "rowsignmxu"):
+                e_scr, e2_scr, p_scr, sem_in, sem, sem2 = rest
+            else:
+                e_scr, e2_scr, sem_in, sem, sem2 = rest
         else:
             e_scr = e2_scr = None
             sem_in, sem, sem2 = rest
@@ -740,10 +747,19 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 shift_r = jnp.where(keep, jw - (rank_row - 1), 0)
                 DEADP = VMASK  # > any real row-relative value: no alias
                 rowbase_u = (rw * C).astype(U32)
+                # "rowsign" variants park the shift field at the TOP of
+                # the word (bit 32-SBITS), so each stage's take/hole test
+                # is one multiply + one signed compare (stage bit lands
+                # at the sign) instead of shift+and+compare. Fits iff
+                # VBITS + SBITS <= 32 — the same _rowplace_enabled bound.
+                sign_take = compact in ("rowsign", "rowsignmxu")
+                mxu_paint = compact in ("rowmxu", "rowsignmxu")
+                SBITS = (C - 1).bit_length()
+                SHBASE = (32 - SBITS) if sign_take else VBITS
                 xp = jnp.where(
                     keep,
                     ((vals0 - base_off - rowbase_u) & VMASK)
-                    | (shift_r.astype(U32) * U32(1 << VBITS)),
+                    | (shift_r.astype(U32) * U32(1 << SHBASE)),
                     DEADP)
                 def rollrow(x, dd):
                     if dd >= C:
@@ -784,6 +800,21 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                                     jnp.where(hole, DEADP, xp))))
                         d *= 4
                         sbit += 2
+                elif sign_take:
+                    b = 0
+                    while (1 << b) < C:
+                        d = 1 << b
+                        xs = rollrow(xp, d)
+                        # stage bit b sits at bit 32-SBITS+b; multiply by
+                        # 1 << (SBITS-1-b) parks it at the sign bit
+                        f = U32(1 << (SBITS - 1 - b))
+                        take = pltpu.bitcast(xs * f, jnp.int32) < 0
+                        holeb = pltpu.bitcast(xp * f, jnp.int32) < 0
+                        hole = holeb & (~take)
+                        xp = jnp.where(
+                            take, xs - U32((d << SHBASE) & 0xFFFFFFFF),
+                            jnp.where(hole, DEADP, xp))
+                        b += 1
                 else:
                     d = 1
                     while d < C:
@@ -793,6 +824,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         xp = jnp.where(take, xs - U32(d << VBITS),
                                        jnp.where(hole, DEADP, xp))
                         d *= 2
+                if ablate == "bfly":
+                    _ablate_out(xp)
+                    return
                 # --- paint packed rows at their flat offsets ---
                 # re-attach the row base and encode +1 so 0 means empty;
                 # each lane of the rolled row targets output row q or q+1
@@ -801,14 +835,70 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 riP = jax.lax.broadcasted_iota(I32, (RB + 1, C), 0)
                 jP1 = jax.lax.broadcasted_iota(I32, (1, C), 1)
                 logC = C.bit_length() - 1
-                acc = jnp.zeros((RB + 1, C), U32)
-                for r in range(RB):
-                    o = jnp.sum(ro[r : r + 1, :1])           # scalar
-                    q = o >> logC
-                    cc = o - (q << logC)
-                    rolled = pltpu.roll(enc[r : r + 1], cc, axis=1)
-                    rowsel = q + (jP1 < cc).astype(I32)      # (1, C)
-                    acc = acc + jnp.where(riP == rowsel, rolled, U32(0))
+                if mxu_paint:
+                    # Per-row dynamic rolls land in VMEM scratch at
+                    # STATIC row indices (dynamic-index VMEM stores don't
+                    # lower; here the store row == r), then two tiny
+                    # (RB+1, RB) one-hot matmuls place each rolled row's
+                    # head (lanes >= cc, output row q) and wrapped tail
+                    # (lanes < cc, row q+1) — replacing RB full-plane
+                    # masked adds. 8-bit limbs keep the dots bit-exact:
+                    # enc <= 8C + l + 1, so hi = enc>>8 <= 256 (a power
+                    # of two, exactly representable in bf16) and each
+                    # output lane receives exactly one nonzero term.
+                    qv = ro >> logC                       # (RB, 1)
+                    ccv = ro - (qv << logC)               # (RB, 1)
+                    for r in range(RB):
+                        cc = jnp.sum(ccv[r : r + 1, :1])  # scalar
+                        p_scr[r : r + 1, :] = pltpu.roll(
+                            enc[r : r + 1], cc, axis=1)
+                    R = p_scr[...]
+                    jR = jax.lax.broadcasted_iota(I32, (RB, C), 1)
+                    headm = jR >= ccv
+                    Rh = jnp.where(headm, R, U32(0))
+                    Rt = jnp.where(headm, U32(0), R)
+                    riA = jax.lax.broadcasted_iota(I32, (RB + 1, RB), 0)
+                    jA = jax.lax.broadcasted_iota(I32, (RB + 1, RB), 1)
+                    BF16 = jnp.bfloat16
+                    Ah = jnp.zeros((RB + 1, RB), BF16)
+                    At = jnp.zeros((RB + 1, RB), BF16)
+                    one = jnp.full((RB + 1, RB), 1, BF16)
+                    zero = jnp.zeros((RB + 1, RB), BF16)
+                    for r in range(RB):
+                        q = jnp.sum(qv[r : r + 1, :1])    # scalar
+                        sel_r = jA == r
+                        Ah = Ah + jnp.where(sel_r & (riA == q), one, zero)
+                        At = At + jnp.where(sel_r & (riA == q + 1), one, zero)
+                    dnA = (((1,), (0,)), ((), ()))
+
+                    def _limbs(x):
+                        return ((x >> U32(8)).astype(BF16),
+                                (x & U32(255)).astype(BF16))
+
+                    Rh_hi, Rh_lo = _limbs(Rh)
+                    Rt_hi, Rt_lo = _limbs(Rt)
+                    hi = (jax.lax.dot_general(
+                              Ah, Rh_hi, dnA,
+                              preferred_element_type=jnp.float32)
+                          + jax.lax.dot_general(
+                              At, Rt_hi, dnA,
+                              preferred_element_type=jnp.float32))
+                    lo = (jax.lax.dot_general(
+                              Ah, Rh_lo, dnA,
+                              preferred_element_type=jnp.float32)
+                          + jax.lax.dot_general(
+                              At, Rt_lo, dnA,
+                              preferred_element_type=jnp.float32))
+                    acc = (hi * jnp.float32(256) + lo).astype(I32).astype(U32)
+                else:
+                    acc = jnp.zeros((RB + 1, C), U32)
+                    for r in range(RB):
+                        o = jnp.sum(ro[r : r + 1, :1])           # scalar
+                        q = o >> logC
+                        cc = o - (q << logC)
+                        rolled = pltpu.roll(enc[r : r + 1], cc, axis=1)
+                        rowsel = q + (jP1 < cc).astype(I32)      # (1, C)
+                        acc = acc + jnp.where(riP == rowsel, rolled, U32(0))
                 trow = tailbuf[:].reshape(1, TAIL)
                 if C > TAIL:
                     trow = jnp.concatenate(
@@ -964,7 +1054,11 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             # grid-invariant one-hot rank matrices, filled once at g==0
             pltpu.VMEM((C, C // 128), jnp.bfloat16),
             pltpu.VMEM((C // 128, C), jnp.bfloat16),
-        ] if _rowplace_enabled(mode, compact, C, l) else []) + [
+        ] if _rowplace_enabled(mode, compact, C, l) else []) + ([
+            # rolled-row staging plane for the MXU paint variants
+            pltpu.VMEM((RB, C), jnp.uint32),
+        ] if _rowplace_enabled(mode, compact, C, l)
+          and compact in ("rowmxu", "rowsignmxu") else []) + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -258,3 +258,40 @@ def test_fused_extreme_k_w_edges():
                 np.testing.assert_array_equal(
                     got, want,
                     err_msg=f"k={k} w={w} {hcls.__name__} canon={canonical}")
+
+
+@pytest.mark.parametrize("compact", ["rowplace4", "rowsign", "rowmxu", "rowsignmxu"])
+def test_fused_compact_variants(compact):
+    """Experimental row-local compaction variants (bench/exp_kernel.py
+    --compact ...) stay bit-exact vs the default "rowplace": sign-bit
+    butterfly take-test field layout (rowsign*), MXU one-hot paint of the
+    packed rows (row*mxu), radix-4 butterfly (rowplace4)."""
+    import jax.numpy as jnp
+
+    from simd_minimizers_tpu.ops import fused as F
+    from simd_minimizers_tpu.ops.pipeline import hasher_jit_args
+
+    rng = np.random.default_rng(0xC0FFEE)
+    k, w = 21, 11
+    l = k + w - 1
+    n = 30_000
+    codes = rng.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=True)
+    want = _want(codes, k, w, h)
+    key, table, mul_const = hasher_jit_args(h)
+    nw = n - l + 1
+    G = -(-nw // (F.RB * C))
+    PADH = F.padh_for(l)
+    buf = np.zeros(
+        max(G * F.RB * C + F.TAIL, F.rowstriped_need_chars(G, C, PADH)),
+        np.uint8)
+    buf[:n] = codes
+    words = F.pack_rowstriped(buf, G, C, PADH)
+    out, _, count = F._fused_call(
+        jnp.asarray(words), jnp.zeros(F.TAIL, jnp.uint32),
+        jnp.asarray([nw, 0], np.int32), jnp.asarray(table),
+        jnp.asarray([mul_const], np.uint32),
+        k=k, w=w, mode=pipeline.MODE_MINIMIZERS, skip_ambiguous=False,
+        hasher_key=key, C=C, G=G, interpret=True, input_mode="striped2r",
+        compact=compact)
+    np.testing.assert_array_equal(np.asarray(out[: int(count[0])]), want)
