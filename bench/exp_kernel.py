@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--input", default="striped2",
                     choices=["striped2", "striped2r"])
     ap.add_argument("--compact", default="flat", choices=["flat", "rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu"])
+    ap.add_argument("--mode", default="minimizers",
+                    choices=["minimizers", "superkmers", "closed_syncmers",
+                             "open_syncmers"])
     args = ap.parse_args()
 
     import jax
@@ -65,7 +68,7 @@ def main():
     h = NtHasher(k, canonical=not args.fwd)
     key, table, mul_const = hasher_jit_args(h)
     ablate = None if args.ablate == "none" else args.ablate
-    kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=False,
+    kw = dict(k=k, w=w, mode=args.mode, skip_ambiguous=False,
               hasher_key=key, C=C, G=G, input_mode=args.input, ablate=ablate,
               compact=args.compact)
     words = (F.pack_rowstriped(codes, G, C, PADH) if args.input == "striped2r"
@@ -96,6 +99,7 @@ def main():
     per_run = (t_many - t_one) / 5
     ns = per_run * 1e9 / n
     print(json.dumps({"rb": args.rb, "C": C, "input": args.input,
+                      "mode": args.mode,
                       "ablate": args.ablate, "compact": args.compact,
                       "k": k, "w": w, "canonical": not args.fwd,
                       "ns_per_bp": round(ns, 4),

@@ -73,8 +73,7 @@ def sketch(
         # one geometry for all sizes: measured A/B shows the big-C kernel
         # beats a C=1024 small-block variant even at len 1024 (153 vs
         # 200 us/call) — the per-call floor is launch overhead, not block
-        # compute, so the extra compile variant bought nothing. C is
-        # mode-aware (superkmers cap at 4096, see fused.def_c_for).
+        # compute, so the extra compile variant bought nothing.
         C = fused.def_c_for(mode)
         G = _bucket_G(-(-nw // (fused.RB * C)))
         return fused.fused_sketch(

@@ -56,16 +56,15 @@ TOP16 = np.uint32(0xFFFF_0000)
 # Block geometry: RB lane-rows of C owned windows per grid step.
 RB = 8
 DEF_C = 8192
-# Super-k-mers carry a second (index) plane through the generic flat
-# butterfly, whose packed 16-bit encoding caps C at 4096; every other
-# mode runs the row-local ("rowplace") compaction, whose row-relative
-# encoding supports larger C (fewer blocks -> lower per-block fixed
-# costs; measured win at C=8192, bench/exp_kernel.py).
-DEF_C_SUPERKMERS = 4096
 
 
 def def_c_for(mode: str) -> int:
-    return DEF_C_SUPERKMERS if mode == MODE_SUPERKMERS else DEF_C
+    # All modes run the row-local ("rowplace") compaction, whose
+    # row-relative encoding supports C = 8192 (fewer blocks -> lower
+    # per-block fixed costs; measured win over C=4096,
+    # bench/exp_kernel.py). Super-k-mers carry their second (index)
+    # plane through the same row butterfly in lockstep.
+    return DEF_C
 
 
 ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu")
@@ -76,9 +75,18 @@ def _rowplace_enabled(mode: str, compact: str, C: int, l: int) -> bool:
     # body and the scratch-shape declaration in _invoke_pallas).
     VBITS = (C + l).bit_length()
     return (compact in ROW_COMPACTS
-            and mode != MODE_SUPERKMERS
             and C % 128 == 0 and (C & (C - 1)) == 0 and C >= TAIL
             and VBITS + (C - 1).bit_length() <= 32)
+
+
+def _mxu_paint_enabled(mode: str, compact: str, C: int, l: int) -> bool:
+    # The MXU paint splits painted values into two 8-bit bf16 limbs,
+    # which only covers the (+1-encoded) block-relative data plane; the
+    # super-k-mer index plane carries full u32s, so that mode keeps the
+    # masked-add paint.
+    return (_rowplace_enabled(mode, compact, C, l)
+            and compact in ("rowmxu", "rowsignmxu")
+            and mode != MODE_SUPERKMERS)
 
 
 def _rotl(x, r):
@@ -360,7 +368,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                state, *rest):
         p_scr = None
         if rowplace_k:
-            if compact in ("rowmxu", "rowsignmxu"):
+            if _mxu_paint_enabled(mode, compact, C, l):
                 e_scr, e2_scr, p_scr, sem_in, sem, sem2 = rest
             else:
                 e_scr, e2_scr, sem_in, sem, sem2 = rest
@@ -444,23 +452,20 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             in_copy(g + 1, slab0, 0).start()
 
         # The first dead block absorbs the last active block's pending
-        # pipelined output-append wait; later dead blocks have nothing
+        # pipelined output-append wait(s); later dead blocks have nothing
         # pending (wait descriptors only need the semaphore + size).
-        if not emit_idx and ablate is None:
+        if ablate is None:
             @pl.when((~active) & prev_active)
             def _():
                 pltpu.make_async_copy(
                     outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
+                if emit_idx:
+                    pltpu.make_async_copy(
+                        idxbuf, idx_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
 
         def body():
-            # In the fast path (no idx plane) the append tail lives in the
-            # persistent tailbuf VMEM scratch; only emit_idx re-reads HBM.
-            if emit_idx:
-                tp = pltpu.make_async_copy(out_hbm.at[pl.ds(Wdma, TAIL)], tailbuf, sem2)
-                tp.start()
-                tp2 = pltpu.make_async_copy(idx_hbm.at[pl.ds(Wdma, TAIL)], tailbuf2, sem2)
-                tp2.start()
-                tp2.wait()
+            # The append tail lives in the persistent tailbuf/tailbuf2 VMEM
+            # scratch (extracted from each block's packed output in finish).
             if skip_ambiguous:
                 if in_mode == "striped2":
                     ap = pltpu.make_async_copy(
@@ -476,8 +481,6 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         amb_hbm.at[pl.ds(g * BC, SLAB)], amb_slab, sem2)
                 ap.start()
                 ap.wait()
-            if emit_idx:
-                tp.wait()
 
             @pl.when(even)
             def _():
@@ -609,52 +612,59 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 if ablate == "pack":
                     _ablate_out(packed[0])
                     return
-                # ---- aligned append: write the full packed block at W ----
+                # ---- aligned append (pipelined): the new tail is extracted
+                # IN VMEM from the just-packed block (out[W'..W'+1024) lies
+                # inside [W, W+BCP), at a TAIL-aligned offset), so this
+                # block's write only has to complete before the NEXT block's
+                # write starts (overlapping regions: g's INVALID tail is
+                # overwritten by g+1). The wait for write g-1 therefore
+                # lands after block g's compute. The super-k-mer idx plane
+                # writes ride the SAME semaphore: both descriptors carry
+                # equal (BCP-word) amounts and we always wait for both
+                # before touching either buffer, so mixed completion order
+                # cannot release a wait early.
+                @pl.when(g > 0)  # g-1's writes still read outbuf/idxbuf
+                def _():
+                    pltpu.make_async_copy(
+                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
+                    if emit_idx:
+                        pltpu.make_async_copy(
+                            idxbuf, idx_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
+
+                outbuf[:] = packed[0].reshape(BCP)
                 if emit_idx:
-                    # serial path: the HBM tail re-read needs completed writes
-                    outbuf[:] = packed[0].reshape(BCP)
-                    od = pltpu.make_async_copy(
-                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem)
-                    od.start()
                     idxbuf[:] = packed[1].reshape(BCP)
-                    od2 = pltpu.make_async_copy(
-                        idxbuf, idx_hbm.at[pl.ds(Wdma, BCP)], sem2)
-                    od2.start()
-                    od2.wait()
-                    od.wait()
-                else:
-                    # pipelined path: the new tail is extracted IN VMEM from
-                    # the just-packed block (out[W'..W'+1024) lies inside
-                    # [W, W+BCP), at a TAIL-aligned offset), so this block's
-                    # write only has to complete before the NEXT block's
-                    # write starts (overlapping regions: g's INVALID tail is
-                    # overwritten by g+1). The wait for write g-1 therefore
-                    # lands after block g's compute.
-                    @pl.when(g > 0)  # g-1's write still reads outbuf
-                    def _():
-                        pltpu.make_async_copy(
-                            outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
+                W_next = (total_new // TAIL) * TAIL
+                # new tail = packed flat [delta, delta+TAIL), delta TAIL-
+                # aligned; dynamic VMEM reads/DMA don't lower, so select
+                # among the static TAIL-aligned candidate slots.
+                slot_idx = (W_next - W) // TAIL
+                acc = jnp.zeros((1, TAIL), U32)
+                acc2 = jnp.zeros((1, TAIL), U32)
+                for cslot in range(BCP // TAIL):
+                    rr, col = divmod(cslot * TAIL, C)
+                    hitslot = slot_idx == cslot
+                    cand = packed[0][rr : rr + 1, col : col + TAIL]
+                    acc = jnp.where(hitslot, cand, acc)
+                    if emit_idx:
+                        cand2 = packed[1][rr : rr + 1, col : col + TAIL]
+                        acc2 = jnp.where(hitslot, cand2, acc2)
+                tailbuf[:] = acc.reshape(TAIL)
+                if emit_idx:
+                    tailbuf2[:] = acc2.reshape(TAIL)
+                pltpu.make_async_copy(
+                    outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).start()
+                if emit_idx:
+                    pltpu.make_async_copy(
+                        idxbuf, idx_hbm.at[pl.ds(Wdma, BCP)], sem).start()
 
-                    outbuf[:] = packed[0].reshape(BCP)
-                    W_next = (total_new // TAIL) * TAIL
-                    # new tail = packed flat [delta, delta+TAIL), delta TAIL-
-                    # aligned; dynamic VMEM reads/DMA don't lower, so select
-                    # among the static TAIL-aligned candidate slots.
-                    slot_idx = (W_next - W) // TAIL
-                    acc = jnp.zeros((1, TAIL), U32)
-                    for cslot in range(BCP // TAIL):
-                        rr, col = divmod(cslot * TAIL, C)
-                        cand = packed[0][rr : rr + 1, col : col + TAIL]
-                        acc = jnp.where(slot_idx == cslot, cand, acc)
-                    tailbuf[:] = acc.reshape(TAIL)
-                    od = pltpu.make_async_copy(
-                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem)
-                    od.start()
-
-                    @pl.when(g == G - 1)  # dead blocks otherwise absorb this
-                    def _():
+                @pl.when(g == G - 1)  # dead blocks otherwise absorb this
+                def _():
+                    pltpu.make_async_copy(
+                        outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
+                    if emit_idx:
                         pltpu.make_async_copy(
-                            outbuf, out_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
+                            idxbuf, idx_hbm.at[pl.ds(Wdma, BCP)], sem).wait()
 
                 state[0] = total_new
                 # seam for the next block: sel of this block's last window
@@ -753,7 +763,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 # at the sign) instead of shift+and+compare. Fits iff
                 # VBITS + SBITS <= 32 — the same _rowplace_enabled bound.
                 sign_take = compact in ("rowsign", "rowsignmxu")
-                mxu_paint = compact in ("rowmxu", "rowsignmxu")
+                mxu_paint = _mxu_paint_enabled(mode, compact, C, l)
                 SBITS = (C - 1).bit_length()
                 SHBASE = (32 - SBITS) if sign_take else VBITS
                 xp = jnp.where(
@@ -761,6 +771,12 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     ((vals0 - base_off - rowbase_u) & VMASK)
                     | (shift_r.astype(U32) * U32(1 << SHBASE)),
                     DEADP)
+                # Super-k-mers carry the global window index as a second
+                # plane moved in LOCKSTEP with xp: the take/hole routing
+                # is read off xp's shift field each stage, so xi needs no
+                # encoding of its own (full-u32 values ride unpacked;
+                # garbage at non-kept lanes never lands below rt).
+                xi = gw if emit_idx else None
                 def rollrow(x, dd):
                     if dd >= C:
                         return jnp.full((RB, C), DEADP, U32)
@@ -791,6 +807,11 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         t2 = dig(xs2) == U32(2)
                         t3 = dig(xs3) == U32(3)
                         hole = (dig(xp) != U32(0)) & (~(t1 | t2 | t3))
+                        if emit_idx:
+                            xi = jnp.where(
+                                t3, rollrow(xi, 3 * d),
+                                jnp.where(t2, rollrow(xi, 2 * d),
+                                          jnp.where(t1, rollrow(xi, d), xi)))
                         xp = jnp.where(
                             t3, xs3 - U32((3 * d) << VBITS),
                             jnp.where(
@@ -811,6 +832,8 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         take = pltpu.bitcast(xs * f, jnp.int32) < 0
                         holeb = pltpu.bitcast(xp * f, jnp.int32) < 0
                         hole = holeb & (~take)
+                        if emit_idx:
+                            xi = jnp.where(take, rollrow(xi, d), xi)
                         xp = jnp.where(
                             take, xs - U32((d << SHBASE) & 0xFFFFFFFF),
                             jnp.where(hole, DEADP, xp))
@@ -821,6 +844,8 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         xs = rollrow(xp, d)
                         take = ((xs >> U32(VBITS)) & U32(d)) != 0
                         hole = (((xp >> U32(VBITS)) & U32(d)) != 0) & (~take)
+                        if emit_idx:
+                            xi = jnp.where(take, rollrow(xi, d), xi)
                         xp = jnp.where(take, xs - U32(d << VBITS),
                                        jnp.where(hole, DEADP, xp))
                         d *= 2
@@ -891,14 +916,25 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                               preferred_element_type=jnp.float32))
                     acc = (hi * jnp.float32(256) + lo).astype(I32).astype(U32)
                 else:
+                    # idx plane: same routing, masked to the packed
+                    # prefix (jw < rt) so untargeted lanes only ever
+                    # accumulate zeros — full-u32 values, no encoding
+                    enc_i = (jnp.where(jw < rt, xi, U32(0))
+                             if emit_idx else None)
                     acc = jnp.zeros((RB + 1, C), U32)
+                    acc_i = jnp.zeros((RB + 1, C), U32)
                     for r in range(RB):
                         o = jnp.sum(ro[r : r + 1, :1])           # scalar
                         q = o >> logC
                         cc = o - (q << logC)
                         rolled = pltpu.roll(enc[r : r + 1], cc, axis=1)
                         rowsel = q + (jP1 < cc).astype(I32)      # (1, C)
-                        acc = acc + jnp.where(riP == rowsel, rolled, U32(0))
+                        hit = riP == rowsel
+                        acc = acc + jnp.where(hit, rolled, U32(0))
+                        if emit_idx:
+                            rolled_i = pltpu.roll(
+                                enc_i[r : r + 1], cc, axis=1)
+                            acc_i = acc_i + jnp.where(hit, rolled_i, U32(0))
                 trow = tailbuf[:].reshape(1, TAIL)
                 if C > TAIL:
                     trow = jnp.concatenate(
@@ -908,6 +944,13 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 jPfull = jax.lax.broadcasted_iota(I32, (RB + 1, C), 1)
                 tailmask = (riP == 0) & (jPfull < rem)
                 packed = [jnp.where(tailmask, trow, data)]
+                if emit_idx:
+                    trow2 = tailbuf2[:].reshape(1, TAIL)
+                    if C > TAIL:
+                        trow2 = jnp.concatenate(
+                            [trow2, jnp.full((1, C - TAIL), INVALID, U32)],
+                            axis=1)
+                    packed.append(jnp.where(tailmask, trow2, acc_i))
                 finish(packed, total_new)
                 return
 
@@ -1057,8 +1100,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
         ] if _rowplace_enabled(mode, compact, C, l) else []) + ([
             # rolled-row staging plane for the MXU paint variants
             pltpu.VMEM((RB, C), jnp.uint32),
-        ] if _rowplace_enabled(mode, compact, C, l)
-          and compact in ("rowmxu", "rowsignmxu") else []) + [
+        ] if _mxu_paint_enabled(mode, compact, C, l) else []) + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -295,3 +295,41 @@ def test_fused_compact_variants(compact):
         hasher_key=key, C=C, G=G, interpret=True, input_mode="striped2r",
         compact=compact)
     np.testing.assert_array_equal(np.asarray(out[: int(count[0])]), want)
+
+
+@pytest.mark.parametrize("compact", ["flat", "rowplace", "rowsign"])
+def test_fused_superkmers_compact_variants(compact):
+    """Super-k-mers now ride the row-local compaction (index plane moved
+    in lockstep with the packed plane); the generic flat butterfly stays
+    available behind compact="flat" — both bit-exact vs the oracle."""
+    import jax.numpy as jnp
+
+    from simd_minimizers_tpu.ops import fused as F
+    from simd_minimizers_tpu.ops.pipeline import hasher_jit_args
+
+    rng = np.random.default_rng(0x5C0)
+    k, w = 11, 7
+    l = k + w - 1
+    n = 30_000
+    codes = rng.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=True)
+    want_pos, want_idx = _want(codes, k, w, h, mode=pipeline.MODE_SUPERKMERS)
+    key, table, mul_const = hasher_jit_args(h)
+    nw = n - l + 1
+    G = -(-nw // (F.RB * C))
+    PADH = F.padh_for(l)
+    buf = np.zeros(
+        max(G * F.RB * C + F.TAIL, F.rowstriped_need_chars(G, C, PADH)),
+        np.uint8)
+    buf[:n] = codes
+    words = F.pack_rowstriped(buf, G, C, PADH)
+    out, idx, count = F._fused_call(
+        jnp.asarray(words), jnp.zeros(F.TAIL, jnp.uint32),
+        jnp.asarray([nw, 0], np.int32), jnp.asarray(table),
+        jnp.asarray([mul_const], np.uint32),
+        k=k, w=w, mode=pipeline.MODE_SUPERKMERS, skip_ambiguous=False,
+        hasher_key=key, C=C, G=G, interpret=True, input_mode="striped2r",
+        compact=compact)
+    cnt = int(count[0])
+    np.testing.assert_array_equal(np.asarray(out[:cnt]), want_pos)
+    np.testing.assert_array_equal(np.asarray(idx[:cnt]), want_idx)

@@ -171,6 +171,14 @@ def test_fused_sharded_with_empty_trailing_shards():
                                      interpret=True)
     want = oracle.collect_and_dedup(oracle.selected_stream(codes, k, w, h))
     np.testing.assert_array_equal(got, want)
+    # superkmers: same geometry drives the two-plane (idx) append + the
+    # emit_idx dead-block absorb
+    gp, gi = shard.fused_sharded_sketch(codes, k, w, h, mesh=mesh, C=1024,
+                                        mode="superkmers", interpret=True)
+    wp, wi = oracle.collect_and_dedup_with_index(
+        oracle.selected_stream(codes, k, w, h))
+    np.testing.assert_array_equal(gp, wp)
+    np.testing.assert_array_equal(gi, wi)
 
 
 def test_seam_merge_with_trailing_skipped_run():
