@@ -37,9 +37,18 @@ def main():
     ap.add_argument("--mode", default="minimizers",
                     choices=["minimizers", "superkmers", "closed_syncmers",
                              "open_syncmers"])
+    ap.add_argument("--verify", action="store_true",
+                    help="check bit-exactness vs the NumPy oracle on the "
+                         "first run (use a small --n; the oracle is host-side)")
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU interpret mode (correctness only; timings "
+                         "are meaningless)")
     args = ap.parse_args()
 
     import jax
+
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
 
     from simd_minimizers_tpu import cache_dir
 
@@ -70,7 +79,7 @@ def main():
     ablate = None if args.ablate == "none" else args.ablate
     kw = dict(k=k, w=w, mode=args.mode, skip_ambiguous=False,
               hasher_key=key, C=C, G=G, input_mode=args.input, ablate=ablate,
-              compact=args.compact)
+              compact=args.compact, interpret=args.interpret)
     words = (F.pack_rowstriped(codes, G, C, PADH) if args.input == "striped2r"
              else native.pack_2bit_striped(codes, G, BC, *F.striped_geometry(C)[1:]))
     call_args = (
@@ -85,6 +94,27 @@ def main():
     out = F._fused_call(*call_args, **kw)
     int(out[2][0])
     compile_s = time.perf_counter() - t0
+
+    verified = None
+    if args.verify:
+        assert ablate is None, "--verify needs the full (non-ablated) kernel"
+        from simd_minimizers_tpu.ops import oracle
+        from simd_minimizers_tpu.ops.pipeline import MODE_OPEN_SYNCMERS
+
+        cnt = int(out[2][0])
+        sel = oracle.selected_stream(codes[:n], k, w, h)
+        if args.mode == "superkmers":
+            want_pos, want_idx = oracle.collect_and_dedup_with_index(sel)
+            np.testing.assert_array_equal(np.asarray(out[0][:cnt]), want_pos)
+            np.testing.assert_array_equal(np.asarray(out[1][:cnt]), want_idx)
+        elif args.mode.endswith("syncmers"):
+            want = oracle.collect_syncmers(
+                sel, w, args.mode == MODE_OPEN_SYNCMERS)
+            np.testing.assert_array_equal(np.asarray(out[0][:cnt]), want)
+        else:
+            want = oracle.collect_and_dedup(sel)
+            np.testing.assert_array_equal(np.asarray(out[0][:cnt]), want)
+        verified = True
 
     def batch(m):
         t = time.perf_counter()
@@ -103,7 +133,8 @@ def main():
                       "ablate": args.ablate, "compact": args.compact,
                       "k": k, "w": w, "canonical": not args.fwd,
                       "ns_per_bp": round(ns, 4),
-                      "compile_s": round(compile_s, 1)}))
+                      "compile_s": round(compile_s, 1),
+                      **({"verified": verified} if verified else {})}))
 
 
 if __name__ == "__main__":

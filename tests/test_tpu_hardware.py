@@ -66,6 +66,18 @@ def test_fused_fuzz_on_tpu():
             want = oracle.collect_and_dedup(sel, skip_sentinel=amb_on)
             np.testing.assert_array_equal(got, want, err_msg=str((k, w, mode)))
 
+    # multi-block superkmers: the two-plane pipelined append (both write
+    # DMAs on one semaphore, VMEM tail extraction for pos AND idx) only
+    # exercises its cross-block seams when G > 2
+    k, w = 21, 11
+    codes = rng.integers(0, 4, 400_000, dtype=np.uint8)
+    h = NtHasher(k, canonical=True)
+    got = fused_sketch(codes, k, w, h, mode="superkmers")
+    sel = oracle.selected_stream(codes, k, w, h)
+    want = oracle.collect_and_dedup_with_index(sel)
+    np.testing.assert_array_equal(got[0], want[0], err_msg="superkmers G>2 pos")
+    np.testing.assert_array_equal(got[1], want[1], err_msg="superkmers G>2 idx")
+
     # byte-striped input modes (general text; ascii-DNA folded on device)
     text = rng.integers(32, 127, 50000, dtype=np.uint8)
     h = MulHasher(7)
