@@ -33,7 +33,9 @@ def main():
     ap.add_argument("--fwd", action="store_true")
     ap.add_argument("--input", default="striped2",
                     choices=["striped2", "striped2r"])
-    ap.add_argument("--compact", default="flat", choices=["flat", "rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu"])
+    ap.add_argument("--compact", default="rowplace",  # the production default
+                    choices=["flat", "rowplace", "rowplace4", "rowsign",
+                             "rowmxu", "rowsignmxu"])
     ap.add_argument("--mode", default="minimizers",
                     choices=["minimizers", "superkmers", "closed_syncmers",
                              "open_syncmers"])

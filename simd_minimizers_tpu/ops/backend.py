@@ -74,7 +74,7 @@ def sketch(
         # beats a C=1024 small-block variant even at len 1024 (153 vs
         # 200 us/call) — the per-call floor is launch overhead, not block
         # compute, so the extra compile variant bought nothing.
-        C = fused.def_c_for(mode)
+        C = fused.DEF_C
         G = _bucket_G(-(-nw // (fused.RB * C)))
         return fused.fused_sketch(
             codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np,

@@ -181,7 +181,7 @@ def sketch_batch(
             if use_fused:
                 from . import fused
 
-                Cg = Cdef or fused.def_c_for(mode)
+                Cg = Cdef or fused.DEF_C
                 BC = fused.RB * Cg
                 G = _backend._bucket_G(-(-nw // BC))
                 need = max(G * BC + fused.TAIL,

@@ -55,22 +55,18 @@ TOP16 = np.uint32(0xFFFF_0000)
 
 # Block geometry: RB lane-rows of C owned windows per grid step.
 RB = 8
+# Every mode runs the row-local ("rowplace") compaction, whose
+# row-relative encoding supports C = 8192 (fewer blocks -> lower
+# per-block fixed costs; measured win over C=4096, bench/exp_kernel.py).
+# Super-k-mers carry their index plane through the same row butterfly
+# in lockstep.
 DEF_C = 8192
-
-
-def def_c_for(mode: str) -> int:
-    # All modes run the row-local ("rowplace") compaction, whose
-    # row-relative encoding supports C = 8192 (fewer blocks -> lower
-    # per-block fixed costs; measured win over C=4096,
-    # bench/exp_kernel.py). Super-k-mers carry their second (index)
-    # plane through the same row butterfly in lockstep.
-    return DEF_C
 
 
 ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu")
 
 
-def _rowplace_enabled(mode: str, compact: str, C: int, l: int) -> bool:
+def _rowplace_enabled(compact: str, C: int, l: int) -> bool:
     # Whether the row-local compaction applies (shared by the kernel
     # body and the scratch-shape declaration in _invoke_pallas).
     VBITS = (C + l).bit_length()
@@ -83,10 +79,14 @@ def _mxu_paint_enabled(mode: str, compact: str, C: int, l: int) -> bool:
     # The MXU paint splits painted values into two 8-bit bf16 limbs,
     # which only covers the (+1-encoded) block-relative data plane; the
     # super-k-mer index plane carries full u32s, so that mode keeps the
-    # masked-add paint.
-    return (_rowplace_enabled(mode, compact, C, l)
+    # masked-add paint. Exactness bound: the painted value reaches
+    # enc_max = 8C + l (rowbase 7C + row-relative < C+l, +1 encoding),
+    # and the hi limb enc>>8 is only bf16-exact up to 256 — so require
+    # enc_max >> 8 <= 256, i.e. 8C + l <= 65791 (l <= 255 at C=8192).
+    return (_rowplace_enabled(compact, C, l)
             and compact in ("rowmxu", "rowsignmxu")
-            and mode != MODE_SUPERKMERS)
+            and mode != MODE_SUPERKMERS
+            and 8 * C + l <= 65791)
 
 
 def _rotl(x, r):
@@ -359,8 +359,12 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     out_cap = full_cap if out_cap is None else min(out_cap, full_cap)
     W_MAX = out_cap - BCP - TAIL  # TAIL-aligned by construction below
 
-    rowplace_k = _rowplace_enabled(mode, compact, C, l)
+    rowplace_k = _rowplace_enabled(compact, C, l)
     NCH_K = C // 128 if rowplace_k else 0
+    # "rank"/"bfly" ablation points only exist inside the row-local
+    # compaction; the flat path would silently run the full kernel.
+    assert ablate != "bfly" or rowplace_k, \
+        "--ablate bfly requires a row-local compact variant"
 
     def kernel(nw_ref, tab_ref, mul_ref, codes_hbm, amb_hbm,
                out_hbm, idx_hbm, count_ref,
@@ -1097,7 +1101,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             # grid-invariant one-hot rank matrices, filled once at g==0
             pltpu.VMEM((C, C // 128), jnp.bfloat16),
             pltpu.VMEM((C // 128, C), jnp.bfloat16),
-        ] if _rowplace_enabled(mode, compact, C, l) else []) + ([
+        ] if _rowplace_enabled(compact, C, l) else []) + ([
             # rolled-row staging plane for the MXU paint variants
             pltpu.VMEM((RB, C), jnp.uint32),
         ] if _mxu_paint_enabled(mode, compact, C, l) else []) + [
@@ -1166,7 +1170,7 @@ def _fused_launch(
     next span on the host while this one computes — the overlap engine
     behind sketch_long's streaming.
     """
-    C = C or def_c_for(mode)
+    C = C or DEF_C
     l = k + w - 1
     n = int(codes_np.shape[0])
     assert n < (1 << 31), "fused kernel handles < 2^31 chars per call (see sketch_long)"
@@ -1300,7 +1304,7 @@ def sketch_long(
                             ambiguous_np=ambiguous_np, C=C, interpret=interpret,
                             dna=dna)
     nw = n - l + 1
-    C = C or def_c_for(mode)
+    C = C or DEF_C
     # one pow2-bucketed grid serves every span (incl. the smaller last
     # one): a single Mosaic compile for the whole stream
     span_nw = min(span_chars - (l - 1), nw)

@@ -231,7 +231,7 @@ def fused_sharded_sketch(
 
     mesh = mesh or default_mesh()
     ndev = int(mesh.shape[AXIS])
-    C = C or fused.def_c_for(mode)
+    C = C or fused.DEF_C
     l = k + w - 1
     n = int(codes_np.shape[0])
     empty = np.zeros(0, dtype=np.uint32)

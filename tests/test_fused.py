@@ -297,6 +297,51 @@ def test_fused_compact_variants(compact):
     np.testing.assert_array_equal(np.asarray(out[: int(count[0])]), want)
 
 
+def test_mxu_paint_limb_guard():
+    """The MXU paint's 8-bit bf16 limbs are only exact while the painted
+    value's hi limb stays <= 256 (enc_max = 8C + l <= 65791): beyond that
+    (e.g. w = 300 at C = 8192) hi reaches 257, which bf16 rounds to 256 —
+    positions came out off by exactly 256 before the guard. The predicate
+    must fall back to the masked-add paint there, and the fallback stays
+    bit-exact."""
+    import jax.numpy as jnp
+
+    from simd_minimizers_tpu.ops import fused as F
+    from simd_minimizers_tpu.ops.pipeline import hasher_jit_args
+
+    assert F._mxu_paint_enabled("minimizers", "rowmxu", 8192, 21 + 11 - 1)
+    assert not F._mxu_paint_enabled("minimizers", "rowmxu", 8192, 22 + 300 - 1)
+    # boundary: 8C + l == 65791 is the last exact geometry at C = 8192
+    assert F._mxu_paint_enabled("minimizers", "rowmxu", 8192, 255)
+    assert not F._mxu_paint_enabled("minimizers", "rowmxu", 8192, 256)
+
+    rng = np.random.default_rng(0x256)
+    k, w = 22, 300
+    l = k + w - 1
+    n = 70_000  # > one full 8*8192 block so row 7's tail paints high enc
+    codes = rng.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=False)
+    want = _want(codes, k, w, h)
+    key, table, mul_const = hasher_jit_args(h)
+    nw = n - l + 1
+    Cb = 8192
+    G = -(-nw // (F.RB * Cb))
+    PADH = F.padh_for(l)
+    buf = np.zeros(
+        max(G * F.RB * Cb + F.TAIL, F.rowstriped_need_chars(G, Cb, PADH)),
+        np.uint8)
+    buf[:n] = codes
+    words = F.pack_rowstriped(buf, G, Cb, PADH)
+    out, _, count = F._fused_call(
+        jnp.asarray(words), jnp.zeros(F.TAIL, jnp.uint32),
+        jnp.asarray([nw, 0], np.int32), jnp.asarray(table),
+        jnp.asarray([mul_const], np.uint32),
+        k=k, w=w, mode=pipeline.MODE_MINIMIZERS, skip_ambiguous=False,
+        hasher_key=key, C=Cb, G=G, interpret=True, input_mode="striped2r",
+        compact="rowmxu")
+    np.testing.assert_array_equal(np.asarray(out[: int(count[0])]), want)
+
+
 @pytest.mark.parametrize("compact", ["flat", "rowplace", "rowsign"])
 def test_fused_superkmers_compact_variants(compact):
     """Super-k-mers now ride the row-local compaction (index plane moved
