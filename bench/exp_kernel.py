@@ -26,7 +26,8 @@ def main():
     ap.add_argument("--rb", type=int, default=8)
     ap.add_argument("--c", type=int, default=4096)
     ap.add_argument("--ablate", default="none",
-                    choices=["none", "decode", "hash", "sel", "rank", "bfly", "pack"])
+                    choices=["none", "decode", "hash", "minl", "blend",
+                             "sel", "rank", "bfly", "pack"])
     ap.add_argument("--n", type=int, default=10**8)
     ap.add_argument("--k", type=int, default=21)
     ap.add_argument("--w", type=int, default=11)

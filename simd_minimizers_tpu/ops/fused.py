@@ -566,6 +566,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             rw_c = jax.lax.broadcasted_iota(I32, (RB, C), 0)
             rowbase = (base + rw_c * C).astype(U32) + off  # (RB, C) global row starts
             lpos = rowbase + lcol
+            if ablate == "minl":  # L-arm sparse-table min only
+                _ablate_out(lpos)
+                return
             if canonical:
                 elemR = hv | (U32(0xFFFF) - ju)
                 rcol = U32(0xFFFF) - (_win_min1(elemR, w)[:, :C] & U32(0xFFFF))
@@ -575,6 +578,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 sel = jnp.where(2 * cnt > l, lpos, rpos)
             else:
                 sel = lpos
+            if ablate == "blend":  # both min arms + strand blend
+                _ablate_out(sel)
+                return
 
             if skip_ambiguous:
                 A = (lane_matrix_from(amb_slab[...]) & U32(1)).astype(I32)

@@ -42,6 +42,12 @@ run time_sk_rowplace python bench/exp_kernel.py --n 100000000 --c 8192 \
 run time_sk_flat python bench/exp_kernel.py --n 100000000 --c 4096 \
     --input striped2r --compact flat --mode superkmers
 
+# stage ablation ladder on the production kernel (cumulative cuts)
+for ab in decode hash minl blend sel rank bfly pack; do
+  run "ablate_$ab" python bench/exp_kernel.py --n 100000000 --c 8192 \
+      --input striped2r --compact rowplace --ablate "$ab"
+done
+
 echo "== headline bench.py"
 timeout 1800 python bench.py 2>"$OUT/bench.err" | tail -1 | tee "$OUT/bench.json"
 echo "== done; artifacts in $OUT"
