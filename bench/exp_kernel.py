@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--mode", default="minimizers",
                     choices=["minimizers", "superkmers", "closed_syncmers",
                              "open_syncmers"])
+    ap.add_argument("--skip-amb", action="store_true",
+                    help="run in skip-ambiguous mode (1%% random N mask) to "
+                         "measure the ambiguity-plane overhead the batch "
+                         "path pays")
     ap.add_argument("--verify", action="store_true",
                     help="check bit-exactness vs the NumPy oracle on the "
                          "first run (use a small --n; the oracle is host-side)")
@@ -80,14 +84,21 @@ def main():
     h = NtHasher(k, canonical=not args.fwd)
     key, table, mul_const = hasher_jit_args(h)
     ablate = None if args.ablate == "none" else args.ablate
-    kw = dict(k=k, w=w, mode=args.mode, skip_ambiguous=False,
+    kw = dict(k=k, w=w, mode=args.mode, skip_ambiguous=args.skip_amb,
               hasher_key=key, C=C, G=G, input_mode=args.input, ablate=ablate,
               compact=args.compact, interpret=args.interpret)
     words = (F.pack_rowstriped(codes, G, C, PADH) if args.input == "striped2r"
              else native.pack_2bit_striped(codes, G, BC, *F.striped_geometry(C)[1:]))
+    if args.skip_amb:
+        assert args.input == "striped2r", "--skip-amb measures the batch wire format"
+        amb = np.zeros(need, np.uint8)
+        amb[:n] = rng.random(n) < 0.01
+        amb_words = jnp.asarray(F.pack_rowstriped(amb, G, C, PADH))
+    else:
+        amb_words = jnp.zeros(F.TAIL, jnp.uint32)
     call_args = (
         jnp.asarray(words),
-        jnp.zeros(F.TAIL, jnp.uint32),
+        amb_words,
         jnp.asarray([nw, 0], np.int32),
         jnp.asarray(table),
         jnp.asarray([mul_const], np.uint32),
@@ -105,7 +116,9 @@ def main():
         from simd_minimizers_tpu.ops.pipeline import MODE_OPEN_SYNCMERS
 
         cnt = int(out[2][0])
-        sel = oracle.selected_stream(codes[:n], k, w, h)
+        sel = oracle.selected_stream(
+            codes[:n], k, w, h,
+            ambiguous=amb[:n] if args.skip_amb else None)
         if args.mode == "superkmers":
             want_pos, want_idx = oracle.collect_and_dedup_with_index(sel)
             np.testing.assert_array_equal(np.asarray(out[0][:cnt]), want_pos)
@@ -115,7 +128,7 @@ def main():
                 sel, w, args.mode == MODE_OPEN_SYNCMERS)
             np.testing.assert_array_equal(np.asarray(out[0][:cnt]), want)
         else:
-            want = oracle.collect_and_dedup(sel)
+            want = oracle.collect_and_dedup(sel, skip_sentinel=args.skip_amb)
             np.testing.assert_array_equal(np.asarray(out[0][:cnt]), want)
         verified = True
 
@@ -135,6 +148,7 @@ def main():
                       "mode": args.mode,
                       "ablate": args.ablate, "compact": args.compact,
                       "k": k, "w": w, "canonical": not args.fwd,
+                      "skip_amb": args.skip_amb,
                       "ns_per_bp": round(ns, 4),
                       "compile_s": round(compile_s, 1),
                       **({"verified": verified} if verified else {})}))

@@ -42,6 +42,10 @@ run time_sk_rowplace python bench/exp_kernel.py --n 100000000 --c 8192 \
 run time_sk_flat python bench/exp_kernel.py --n 100000000 --c 4096 \
     --input striped2r --compact flat --mode superkmers
 
+# ambiguity-plane overhead (what the batch path pays over plain streaming)
+run time_skipamb python bench/exp_kernel.py --n 100000000 --c 8192 \
+    --input striped2r --compact rowplace --skip-amb
+
 # stage ablation ladder on the production kernel (cumulative cuts)
 for ab in decode hash minl blend sel rank bfly pack; do
   run "ablate_$ab" python bench/exp_kernel.py --n 100000000 --c 8192 \
