@@ -76,6 +76,15 @@ def main():
                   f"({r['reads_per_s']/1e6:.2f} M reads/s)")
         print()
 
+    if isinstance(res.get("local_scalar"), list):
+        print("== local scalar baseline: C++ single-core, MEASURED on this "
+              "host (bench/cpu_scalar.cpp) ==")
+        for r in res["local_scalar"]:
+            strand = "canonical" if r["canonical"] else "fwd"
+            print(f"  {r['alg']:>7} {strand:>9} k={r['k']} w={r['w']}: "
+                  f"{r['ns_per_bp']:>8.3f} ns/bp")
+        print()
+
     if "sliding_min_comparisons" in res:
         print("== sliding-min comparisons/element (algorithm zoo) ==")
         for k, v in res["sliding_min_comparisons"].items():

@@ -434,6 +434,43 @@ def bench_density():
     return {"density": round(pos.size / nw, 6), "expected": round(2 / (w + 1), 6)}
 
 
+def bench_local_scalar(n, quick=False):
+    """Measured-on-this-host scalar CPU baseline (bench/cpu_scalar.cpp).
+
+    The reference's external baselines (minimizer-iter / rescan crates,
+    paper.rs external()) are Rust and can only be carried; these rows are
+    the same algorithms implemented scalar in C++ and TIMED HERE, on the
+    same machine the TPU numbers come from. Differential-tested bit-exact
+    vs the oracle (tests/test_cpu_scalar.py).
+    """
+    import local_scalar as LS
+
+    if LS.load() is None:
+        return {"error": "no g++ toolchain"}
+    k, w = 21, 11
+    rng = np.random.default_rng(0xBEEF)
+    nn = min(n, 10**7) if quick else n
+    codes = rng.integers(0, 4, nn, dtype=np.uint8)
+    rows = []
+    for canonical in (False, True):
+        h = NtHasher(k, canonical=canonical)
+        for alg in (["queue"] if canonical else ["queue", "rescan"]):
+            t = LS.time_scalar(codes, k, w, h, alg, reps=2 if quick else 3)
+            ns = t * 1e9 / nn
+            rows.append({"alg": alg, "canonical": canonical, "k": k, "w": w,
+                         "ns_per_bp": round(ns, 3),
+                         "source": "measured-local-scalar-cpp"})
+            print(f"[local_scalar] {alg} canon={canonical}: {ns:.3f} ns/bp",
+                  file=sys.stderr)
+    # naive is O(n*w); measure on a 10x smaller slice
+    nnv = max(nn // 10, 10**5)
+    t = LS.time_scalar(codes[:nnv], k, w, NtHasher(k), "naive", reps=2)
+    rows.append({"alg": "naive", "canonical": False, "k": k, "w": w,
+                 "ns_per_bp": round(t * 1e9 / nnv, 3),
+                 "source": "measured-local-scalar-cpp"})
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10**8)
@@ -460,6 +497,8 @@ def main():
         ("sliding_min_comparisons", "sliding_min",
          lambda: algs.comparison_counts(n=4096, w=11)),
         ("density", "density", bench_density),
+        ("local_scalar", "local_scalar",
+         lambda: bench_local_scalar(args.n, args.quick)),
         ("external", "external", lambda: bench_external(args.n, args.quick)),
         ("incremental", "incremental", lambda: bench_incremental(args.n, args.quick)),
         ("short", "short", lambda: bench_short(args.quick)),
