@@ -62,6 +62,7 @@ from .seq.packed import (
     PackedNSeqVec,
     PackedSeq,
     PackedSeqVec,
+    as_seq,
 )
 
 __version__ = "0.1.0"
@@ -88,4 +89,5 @@ __all__ = [
     "AsciiSeqVec",
     "GenericSeq",
     "PackedNSeqVec",
+    "as_seq",
 ]
