@@ -122,6 +122,7 @@ _SERIES = [
     ("simd-minimizers", "#1baf7a", "simd-minimizers (AVX2, carried)"),
     ("rescan", "#eda100", "rescan (AVX2, carried)"),
     ("minimizer-iter", "#e87ba4", "minimizer-iter (AVX2, carried)"),
+    ("scalar-queue", "#8c6ff0", "scalar queue (this host, measured)"),
 ]
 
 

@@ -363,6 +363,8 @@ def bench_plot(quick=False, fused_k=19):
                          "canonical": name.startswith("canonical"),
                          "ns_per_bp": round(float(np.median(ts)), 4),
                          "source": "carried-avx2"})
+    rows.extend(plot_scalar_rows(n, ks, ws))
+
     rng = np.random.default_rng(0x9107)
     C = 4096
     R = -(-(n - 4) // C)  # same R for every l in the grid (l <= 79 << C)
@@ -419,6 +421,33 @@ def bench_plot(quick=False, fused_k=19):
         rows.append({"name": "smtpu-fused", "k": k, "w": w, "canonical": True,
                      "ns_per_bp": round(ns, 4)})
         print(f"[plot] fused k={k} w={w}: {ns:.4f} ns/bp", file=sys.stderr)
+    return rows
+
+
+def plot_scalar_rows(n, ks, ws):
+    """Measured local scalar-queue series for the (w,k) sweep (CPU-only;
+    see bench_local_scalar)."""
+    import local_scalar as LS
+
+    if LS.load() is None:
+        return []
+    rows = []
+    codes = np.random.default_rng(0x5CA1).integers(0, 4, n, dtype=np.uint8)
+    for k in ks:
+        for w in ws:
+            for canonical in (False, True):
+                if canonical and (k + w - 1) % 2 == 0:
+                    continue
+                t = LS.time_scalar(codes, k, w,
+                                   NtHasher(k, canonical=canonical),
+                                   "queue", reps=2)
+                ns = t * 1e9 / n
+                rows.append({"name": ("canonical " if canonical else "")
+                             + "scalar-queue", "k": k, "w": w,
+                             "canonical": canonical,
+                             "ns_per_bp": round(ns, 4),
+                             "source": "measured-local-scalar-cpp"})
+        print(f"[plot] scalar-queue k={k}: done", file=sys.stderr)
     return rows
 
 
