@@ -32,8 +32,6 @@ fails = 0
 for i in range(N_CFG):
     k = int(rng.integers(1, 40))
     w = int(rng.integers(1, 25))
-    l = k + w - 1
-    canonical = bool(rng.integers(0, 2)) and l % 2 == 1
     mode = str(rng.choice(["minimizers", "minimizers", "superkmers",
                            "closed_syncmers", "open_syncmers"]))
     if mode == "open_syncmers" and w % 2 == 0:
@@ -43,6 +41,8 @@ for i in range(N_CFG):
     if hcls is AntiLexHasher:
         k = min(k, 32)
         seed = None
+    l = k + w - 1  # after any k clamp: canonical needs l odd
+    canonical = bool(rng.integers(0, 2)) and l % 2 == 1
     h = hcls(k, canonical=canonical, seed=seed)
     S = int(rng.integers(1, 10))
     n = int(rng.integers(max(l + 1, 50), 20000))
