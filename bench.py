@@ -26,49 +26,15 @@ import numpy as np
 BASELINE_NS_PER_BP = 2.20  # canonical k=21 w=11, AVX2 (bench/results.json)
 
 
-def _acquire_device(timeout_s: float):
-    """jax.devices() with a watchdog.
-
-    The axon tunnel can wedge server-side (registration answers but the
-    device claim hangs indefinitely — observed for multi-hour stretches).
-    Acquire in a daemon thread so a wedged tunnel turns into a clean
-    non-zero exit with a diagnostic instead of an unbounded hang of the
-    driver's bench step.
-    """
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue()
-
-    def work():
-        try:
-            import jax
-
-            q.put(("ok", jax.devices()))
-        except Exception as e:  # pragma: no cover - depends on env
-            q.put(("err", e))
-
-    threading.Thread(target=work, daemon=True).start()
-    try:
-        kind, val = q.get(timeout=timeout_s)
-    except queue.Empty:
-        print(
-            f"[bench] FATAL: device acquisition did not answer within "
-            f"{timeout_s:.0f}s (tunnel wedged?); aborting",
-            file=sys.stderr,
-        )
-        import os
-
-        os._exit(3)
-    if kind == "err":
-        raise val
-    return val
-
-
 def main() -> None:
     import os
 
-    devices = _acquire_device(
+    from simd_minimizers_tpu.utils.device import acquire_devices_or_exit
+
+    # the axon tunnel can wedge server-side (registration answers but the
+    # device claim hangs for hours); fail fast instead of hanging the
+    # driver's bench step
+    devices = acquire_devices_or_exit(
         float(os.environ.get("SMTPU_BENCH_DEVICE_TIMEOUT_S", "900"))
     )
     import jax

@@ -36,6 +36,10 @@ def main():
     from simd_minimizers_tpu.hashers import NtHasher
     from simd_minimizers_tpu.ops import backend, pipeline, values
     from simd_minimizers_tpu.seq.fasta import read_fasta
+    from simd_minimizers_tpu.utils.device import acquire_devices_or_exit
+
+    acquire_devices_or_exit(
+        float(os.environ.get("SMTPU_DEVICE_TIMEOUT_S", "900")))
 
     mode = {None: pipeline.MODE_MINIMIZERS,
             "closed": pipeline.MODE_CLOSED_SYNCMERS,
