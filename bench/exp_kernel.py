@@ -91,6 +91,10 @@ def main():
              else native.pack_2bit_striped(codes, G, BC, *F.striped_geometry(C)[1:]))
     if args.skip_amb:
         assert args.input == "striped2r", "--skip-amb measures the batch wire format"
+        # same unrepresentability rule as the public API (reference
+        # lib.rs:498-503); the oracle comparison below would also disagree
+        # with the kernel's SKIPPED-drop for the index plane
+        assert args.mode != "superkmers", "--skip-amb x superkmers is unsupported"
         amb = np.zeros(need, np.uint8)
         amb[:n] = rng.random(n) < 0.01
         amb_words = jnp.asarray(F.pack_rowstriped(amb, G, C, PADH))

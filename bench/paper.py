@@ -637,7 +637,8 @@ def bench_human_genome(quick=False):
     # Through the dev tunnel the transfer (~15 MB/s) dominates both; the
     # overlap saving = min(pack+harvest, compute) per span. On a real TPU
     # host (PCIe) the same code hides nearly all pack+transfer time.
-    from simd_minimizers_tpu.ops.fused import _fused_launch, _fused_harvest, sketch_long
+    from simd_minimizers_tpu.ops.fused import (
+        _fused_launch, _fused_harvest, long_span_grid, sketch_long)
 
     n_h = 200_000_000 if not quick else 50_000_000
     rng = np.random.default_rng(0xCE)
@@ -656,7 +657,7 @@ def bench_human_genome(quick=False):
         t0 = time.perf_counter()
         tot, s = 0, 0
         nw_h = n_h - l + 1
-        Gs = 1 << (-(-min(span - (l - 1), nw_h) // (F.RB * F.DEF_C)) - 1).bit_length()
+        Gs = long_span_grid(n_h, l, span)  # same program sketch_long runs
         while s < nw_h:
             e = min(s + span - (l - 1), nw_h)
             hnd = _fused_launch(codes_h[s : min(e - 1 + l, n_h)], k, w, h,

@@ -56,8 +56,10 @@ def main():
     total_pos = 0
     for rec in recs:
         amb = rec.ambiguous if args.skip_ambiguous else None
+        # the native FASTA scanner guarantees 2-bit codes; dna=True skips
+        # the O(n) host wire-format probe per record
         pos = backend.sketch(rec.codes, args.k, args.w, h, mode=mode,
-                             ambiguous_np=amb)
+                             ambiguous_np=amb, dna=True)
         out[f"{rec.name}/positions"] = pos
         total_pos += pos.size
         if args.values and mode == pipeline.MODE_MINIMIZERS:

@@ -165,6 +165,13 @@ def available() -> bool:
     return _build_and_load() is not None
 
 
+def rowstriped_need_chars_raw(nblocks: int, bc: int, c0: int, spw: int) -> int:
+    """Input chars pack_2bit_rowstriped reads for this geometry (the last
+    row of the last block spans 16*spw chars). Single source of the
+    span-size formula — ops.fused.rowstriped_need_chars delegates here."""
+    return (nblocks - 1) * bc + (bc // c0 - 1) * c0 + 16 * spw if nblocks else 0
+
+
 def pack_2bit_rowstriped(codes: np.ndarray, nblocks: int, bc: int, c0: int,
                          sp: int, spw: int, spw_pad: int) -> np.ndarray:
     """Row-striped 2-bit packing: (8, spw_pad) words per block, row r of
@@ -209,10 +216,7 @@ def pack_2bit_rowstriped_multi(codes: np.ndarray, starts: np.ndarray,
                                        spw_pad, _ptr(out))
         return out.reshape(ndev, nblocks * 8, spw_pad)
     out3 = out.reshape(ndev, nblocks * 8, spw_pad)
-    # chars one span exposes = fused.rowstriped_need_chars(nblocks, C, PADH)
-    # derived from the call's own geometry (rows = bc // c0 = RB)
-    rows = bc // c0
-    need = (nblocks - 1) * bc + (rows - 1) * c0 + 16 * spw if nblocks else 0
+    need = rowstriped_need_chars_raw(nblocks, bc, c0, spw)
     for d in range(ndev):
         span = np.zeros(max(need, 0), np.uint8)
         ln = int(lens[d])

@@ -142,6 +142,9 @@ class ShortSeqSketcher:
 
         import jax.numpy as jnp
 
+        assert m > 1, "m > 1: per_call_us is a (t_many - t_one)/(m-1) slope"
+        assert codes_np.shape[0] >= self._l, (
+            f"input shorter than one window (l={self._l}): nothing to time")
         self.harvest(self.launch(codes_np))  # warm
 
         def batch(mm):

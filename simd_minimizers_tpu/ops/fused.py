@@ -1142,8 +1142,10 @@ def padh_for(l: int) -> int:
 
 def rowstriped_need_chars(G: int, C: int, PADH: int) -> int:
     """Input chars the row-striped packer reads for a G-block call."""
+    from .. import native
+
     _, SPW, _ = rowstriped_geometry(C, PADH)
-    return (G - 1) * RB * C + (RB - 1) * C + 16 * SPW
+    return native.rowstriped_need_chars_raw(G, RB * C, C, SPW)
 
 
 def pack_rowstriped(codes_padded: np.ndarray, G: int, C: int, PADH: int) -> np.ndarray:
@@ -1273,6 +1275,17 @@ def fused_sketch(
     )
 
 
+def long_span_grid(n: int, l: int, span_chars: int, C: int | None = None) -> int:
+    """Pow2-bucketed G that serves EVERY span of a sketch_long stream
+    (incl. the smaller last one): a single Mosaic compile for the whole
+    stream. Shared with bench/paper.py's serial A/B so both sides run
+    the identical program."""
+    C = C or DEF_C
+    span_nw = min(span_chars - (l - 1), n - l + 1)
+    Gs = -(-span_nw // (RB * C))
+    return 1 << (Gs - 1).bit_length() if Gs > 1 else 1
+
+
 def sketch_long(
     codes_np: np.ndarray,
     k: int,
@@ -1311,11 +1324,7 @@ def sketch_long(
                             dna=dna)
     nw = n - l + 1
     C = C or DEF_C
-    # one pow2-bucketed grid serves every span (incl. the smaller last
-    # one): a single Mosaic compile for the whole stream
-    span_nw = min(span_chars - (l - 1), nw)
-    Gs = -(-span_nw // (RB * C))
-    Gs = 1 << (Gs - 1).bit_length() if Gs > 1 else 1
+    Gs = long_span_grid(n, l, span_chars, C)
     spans = []
     idxs = []
     starts = []

@@ -124,6 +124,10 @@ def local_shard_sketch(
     the fused sharded kernel (shard.fused_sharded_sketch supports them
     all); elsewhere the XLA sharded path serves.
     """
+    assert not (mode == pipeline.MODE_SUPERKMERS and ambiguous_np is not None), (
+        "super-k-mers cannot be combined with an ambiguity mask "
+        "(unrepresentable in the reference, /root/reference/src/lib.rs:498-503)"
+    )
     l = k + w - 1
     n = int(codes_np.shape[0])
     empty = np.zeros(0, np.uint32)
@@ -148,22 +152,37 @@ def local_shard_sketch(
     return (res + off).astype(np.uint32)
 
 
-def _allgather_ragged(mine: np.ndarray, nproc: int) -> list[np.ndarray]:
-    """All-gather one ragged uint32 array: returns the per-process list.
+def _allgather_ragged_planes(
+    planes: list[np.ndarray], nproc: int
+) -> list[list[np.ndarray]]:
+    """All-gather same-count ragged uint32 planes: per-plane process lists.
 
-    Pads to the max count, exchanges (buffer, count) over DCN.
+    Pads to the max count and exchanges a single stacked (nplanes, cap)
+    buffer plus one counts vector over DCN — process_allgather is a full
+    DCN barrier, so planes that move in lockstep (e.g. the super-k-mer
+    positions + window-index pair) must share one exchange, not pay one
+    barrier each.
     """
     from jax.experimental import multihost_utils
 
-    # one counts exchange serves both the pad size and the slicing —
-    # process_allgather is a full DCN barrier, so don't issue it twice
+    size = planes[0].size
+    assert all(p.size == size for p in planes), "planes must move in lockstep"
     all_cnts = multihost_utils.process_allgather(
-        np.asarray([mine.size], np.int64))  # (nproc, 1)
+        np.asarray([size], np.int64))  # (nproc, 1)
     cap = max(int(all_cnts.max()), 1)
-    buf = np.full(cap, 0xFFFFFFFF, np.uint32)
-    buf[: mine.size] = mine
-    all_bufs = multihost_utils.process_allgather(buf)  # (nproc, cap)
-    return [all_bufs[p, : int(all_cnts[p, 0])] for p in range(nproc)]
+    buf = np.full((len(planes), cap), 0xFFFFFFFF, np.uint32)
+    for i, p in enumerate(planes):
+        buf[i, :size] = p
+    all_bufs = multihost_utils.process_allgather(buf)  # (nproc, nplanes, cap)
+    return [
+        [all_bufs[p, i, : int(all_cnts[p, 0])] for p in range(nproc)]
+        for i in range(len(planes))
+    ]
+
+
+def _allgather_ragged(mine: np.ndarray, nproc: int) -> list[np.ndarray]:
+    """All-gather one ragged uint32 array: returns the per-process list."""
+    return _allgather_ragged_planes([mine], nproc)[0]
 
 
 def _merge_mode_shards(parts, starts, codes_np, k, w, hasher, mode,
@@ -211,8 +230,7 @@ def multihost_sketch(
     starts = [shard_bounds(int(codes_np.shape[0]), l, nproc, p)[0]
               for p in range(nproc)]
     if mode == pipeline.MODE_SUPERKMERS:
-        parts = _allgather_ragged(mine[0], nproc)
-        aux = _allgather_ragged(mine[1], nproc)
+        parts, aux = _allgather_ragged_planes([mine[0], mine[1]], nproc)
     else:
         parts = _allgather_ragged(mine, nproc)
         aux = None
