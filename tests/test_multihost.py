@@ -205,3 +205,59 @@ def test_seam_merge_with_trailing_skipped_run():
         sel = oracle.selected_stream(codes, k, w, h, ambiguous=amb)
         want = oracle.collect_and_dedup(sel, skip_sentinel=True)
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_allgather_ragged_planes_lockstep(monkeypatch):
+    """The stacked-plane ragged all-gather: one counts exchange + one
+    buffer exchange serves N lockstep planes, and the unstacking
+    reproduces each process's ragged arrays exactly. process_allgather
+    is emulated for a 3-process world."""
+    # per-process plane pairs with distinct ragged sizes (incl. empty)
+    worlds = [
+        (np.arange(5, dtype=np.uint32), np.arange(100, 105, dtype=np.uint32)),
+        (np.zeros(0, np.uint32), np.zeros(0, np.uint32)),
+        (np.arange(9, dtype=np.uint32), np.arange(200, 209, dtype=np.uint32)),
+    ]
+    nproc = len(worlds)
+    calls = []
+
+    def run_process(pid):
+        def fake_allgather(x):
+            # each process contributes its own x; all see the stacked result
+            calls.append(x.shape)
+            if x.dtype == np.int64:  # counts vector
+                return np.stack([
+                    np.asarray([worlds[p][plane_ix[0]].size], np.int64)
+                    for p in range(nproc)
+                ])
+            cap = x.shape[-1]
+            bufs = []
+            for p in range(nproc):
+                b = np.full_like(x, 0xFFFFFFFF)
+                for i in range(x.shape[0]):
+                    arr = worlds[p][i]
+                    b[i, : arr.size] = arr
+                bufs.append(b)
+            return np.stack(bufs)
+
+        plane_ix = [0]
+        import jax.experimental.multihost_utils as mhu
+
+        monkeypatch.setattr(mhu, "process_allgather", fake_allgather)
+        planes = [worlds[pid][0], worlds[pid][1]]
+        return multihost._allgather_ragged_planes(planes, nproc)
+
+    for pid in range(nproc):
+        calls.clear()
+        parts, aux = run_process(pid)
+        # exactly two collectives: one counts, one stacked buffer
+        assert len(calls) == 2, calls
+        assert calls[1][0] == 2  # both planes rode one exchange
+        for p in range(nproc):
+            np.testing.assert_array_equal(parts[p], worlds[p][0])
+            np.testing.assert_array_equal(aux[p], worlds[p][1])
+
+    # planes of unequal size must be rejected (lockstep contract)
+    with pytest.raises(AssertionError):
+        multihost._allgather_ragged_planes(
+            [np.zeros(3, np.uint32), np.zeros(4, np.uint32)], 1)
