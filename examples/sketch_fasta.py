@@ -54,12 +54,13 @@ def main():
 
     out = {}
     total_pos = 0
-    for rec in recs:
-        amb = rec.ambiguous if args.skip_ambiguous else None
-        # the native FASTA scanner guarantees 2-bit codes; dna=True skips
-        # the O(n) host wire-format probe per record
-        pos = backend.sketch(rec.codes, args.k, args.w, h, mode=mode,
-                             ambiguous_np=amb, dna=True)
+    # all records ride ONE depth-2 launch pipeline (pack + transfer of the
+    # next record overlaps device compute of the current one); dna=True:
+    # the native FASTA scanner guarantees 2-bit codes, no O(n) host probe
+    amb = ([r.ambiguous for r in recs] if args.skip_ambiguous else None)
+    all_pos = backend.sketch_records([r.codes for r in recs], args.k, args.w,
+                                     h, mode=mode, ambiguous=amb, dna=True)
+    for rec, pos in zip(recs, all_pos):
         out[f"{rec.name}/positions"] = pos
         total_pos += pos.size
         if args.values and mode == pipeline.MODE_MINIMIZERS:

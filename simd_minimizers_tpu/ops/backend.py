@@ -92,6 +92,50 @@ def sketch(
     )
 
 
+def sketch_records(
+    records,
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = pipeline.MODE_MINIMIZERS,
+    ambiguous=None,
+    dna: bool | None = None,
+):
+    """Sketch many independent sequences; list of per-record results.
+
+    On TPU the fused launches are pipelined depth-2 ACROSS records
+    (fused.sketch_records), so a multi-record genome hides pack+transfer
+    behind device compute instead of synchronizing once per record.
+    Elsewhere it is a plain per-record loop. Bit-identical to calling
+    sketch() on each record.
+    """
+    l = k + w - 1
+    assert not (mode == pipeline.MODE_SUPERKMERS and ambiguous is not None
+                and any(a is not None for a in ambiguous)), (
+        "super-k-mers cannot be combined with an ambiguity mask "
+        "(unrepresentable in the reference, /root/reference/src/lib.rs:498-503)"
+    )
+    if any(int(c.shape[0]) >= l for c in records):
+        if mode == pipeline.MODE_OPEN_SYNCMERS:
+            assert w % 2 == 1, "open syncmers require odd w"
+        if hasher.canonical:
+            assert l % 2 == 1, (
+                f"window length l={l} must be odd to determine strand"
+            )
+    if _use_fused():
+        from . import fused
+
+        return fused.sketch_records(
+            records, k, w, hasher, mode=mode, ambiguous=ambiguous, dna=dna
+        )
+    amb = list(ambiguous) if ambiguous is not None else [None] * len(records)
+    assert len(amb) == len(records), "ambiguous must align with records"
+    return [
+        sketch(c, k, w, hasher, mode=mode, ambiguous_np=amb[i], dna=dna)
+        for i, c in enumerate(records)
+    ]
+
+
 def sketch_batch(
     reads,
     k: int,

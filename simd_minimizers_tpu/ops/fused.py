@@ -1362,3 +1362,105 @@ def sketch_long(
                                      ambiguous_np, aux=idxs)
     return merge_adjacent_shards(spans, starts, codes_np, k, w, hasher,
                                  ambiguous_np)
+
+
+def sketch_records(
+    records,
+    k: int,
+    w: int,
+    hasher: KmerHasher,
+    mode: str = MODE_MINIMIZERS,
+    ambiguous=None,
+    C: int | None = None,
+    span_chars: int = 1 << 29,
+    interpret: bool = False,
+    dna: bool | None = None,
+):
+    """Sketch many independent sequences with one depth-2 launch pipeline.
+
+    The analog of the reference bench's rayon par_iter over chromosomes
+    (/root/reference/bench/src/bin/paper.rs:442-459) for a single device:
+    records are decomposed into spans exactly like sketch_long, but the
+    pack/transfer <-> compute overlap runs ACROSS record boundaries, so a
+    whole-genome FASTA (tens of records) pays one pipeline fill instead of
+    one synchronized round trip per record (~30 ms each through a tunnel;
+    still one dispatch each on a local host). Per-record results are
+    bit-identical to fused_sketch/sketch_long on each record alone;
+    positions are record-local.
+
+    `ambiguous` is an optional per-record list (None entries allowed).
+    Returns a list: positions, or (positions, superkmer indices) per
+    record (empty for records shorter than one window).
+    """
+    l = k + w - 1
+    C = C or DEF_C
+    nrec = len(records)
+    ambiguous = list(ambiguous) if ambiguous is not None else [None] * nrec
+    assert len(ambiguous) == nrec, "ambiguous must align with records"
+    assert not (mode == MODE_SUPERKMERS
+                and any(a is not None for a in ambiguous)), (
+        "super-k-mers cannot be combined with an ambiguity mask "
+        "(unrepresentable in the reference, /root/reference/src/lib.rs:498-503)"
+    )
+    rec_spans = [[] for _ in range(nrec)]
+    rec_idxs = [[] for _ in range(nrec)]
+    rec_starts = [[] for _ in range(nrec)]
+    pending = []  # (record index, launch handles) — depth 2
+
+    def harvest_one():
+        ri, hnd = pending.pop(0)
+        res = _fused_harvest(hnd, mode)
+        if mode == MODE_SUPERKMERS:
+            rec_spans[ri].append(res[0])
+            rec_idxs[ri].append(res[1])
+        else:
+            rec_spans[ri].append(res)
+
+    for ri, codes_np in enumerate(records):
+        n = int(codes_np.shape[0])
+        assert n < (1 << 32), "positions are u32: 2^32 chars max per record"
+        if n < l:
+            continue
+        nw = n - l + 1
+        # pow2-bucketed per record (== the single-sequence grid choice),
+        # so same-magnitude records share one compiled program
+        Gs = long_span_grid(n, l, span_chars, C)
+        amb = ambiguous[ri]
+        s = 0
+        while s < nw:
+            rec_starts[ri].append(s)
+            e = min(s + span_chars - (l - 1), nw)
+            chars_end = min(e - 1 + l, n)
+            a = amb[s:chars_end] if amb is not None else None
+            pending.append(
+                (ri, _fused_launch(codes_np[s:chars_end], k, w, hasher,
+                                   mode=mode, ambiguous_np=a, C=C, offset=s,
+                                   interpret=interpret, G=Gs, dna=dna)))
+            if len(pending) > 1:
+                harvest_one()
+            s = e
+    while pending:
+        harvest_one()
+
+    from ..parallel.multihost import merge_adjacent_shards
+
+    empty = np.zeros(0, dtype=np.uint32)
+    out = []
+    for ri, codes_np in enumerate(records):
+        spans_r = rec_spans[ri]
+        if not spans_r:
+            out.append((empty, empty) if mode == MODE_SUPERKMERS else empty)
+        elif mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
+            out.append(np.concatenate(spans_r))
+        elif len(spans_r) == 1:
+            out.append((spans_r[0], rec_idxs[ri][0])
+                       if mode == MODE_SUPERKMERS else spans_r[0])
+        elif mode == MODE_SUPERKMERS:
+            out.append(merge_adjacent_shards(
+                spans_r, rec_starts[ri], codes_np, k, w, hasher,
+                ambiguous[ri], aux=rec_idxs[ri]))
+        else:
+            out.append(merge_adjacent_shards(
+                spans_r, rec_starts[ri], codes_np, k, w, hasher,
+                ambiguous[ri]))
+    return out

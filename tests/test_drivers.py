@@ -168,3 +168,68 @@ def test_device_sketcher_superkmers():
         oracle.selected_stream(codes, k, w, h))
     np.testing.assert_array_equal(got_p, want_p)
     np.testing.assert_array_equal(got_i, want_i)
+
+
+@pytest.mark.parametrize("mode", ["minimizers", "superkmers",
+                                  "closed_syncmers", "open_syncmers"])
+def test_sketch_records_pipeline(mode):
+    """fused.sketch_records (the cross-record depth-2 launch pipeline):
+    per-record results bit-identical to sketching each record alone —
+    mixed lengths incl. empty, sub-window, single-span, and multi-span
+    records (span_chars forces several spans for the big one)."""
+    from simd_minimizers_tpu.ops import fused
+
+    k, w = 7, 5
+    l = k + w - 1
+    h = NtHasher(k, canonical=True)
+    rng = np.random.default_rng(0x5EC5)
+    recs = [
+        np.zeros(0, np.uint8),                              # empty
+        rng.integers(0, 4, l - 1, dtype=np.uint8),          # sub-window
+        rng.integers(0, 4, 900, dtype=np.uint8),            # single span
+        rng.integers(0, 4, 33000, dtype=np.uint8),          # multi span
+        rng.integers(0, 4, 2500, dtype=np.uint8),
+    ]
+    got = fused.sketch_records(recs, k, w, h, mode=mode, C=1024,
+                               span_chars=12000, interpret=True)
+    assert len(got) == len(recs)
+    for codes, g in zip(recs, got):
+        want = _want(codes, k, w, h, mode=mode) if codes.size >= l else (
+            (np.zeros(0, np.uint32), np.zeros(0, np.uint32))
+            if mode == pipeline.MODE_SUPERKMERS else np.zeros(0, np.uint32))
+        if mode == pipeline.MODE_SUPERKMERS:
+            np.testing.assert_array_equal(g[0], want[0])
+            np.testing.assert_array_equal(g[1], want[1])
+        else:
+            np.testing.assert_array_equal(g, want)
+
+
+def test_sketch_records_skip_ambiguous_and_asserts():
+    """Per-record ambiguity masks flow through the records pipeline
+    (None entries allowed); superkmers x ambiguity is rejected like the
+    public API."""
+    from simd_minimizers_tpu.ops import backend, fused
+
+    k, w = 5, 7
+    l = k + w - 1
+    h = NtHasher(k, canonical=True)
+    rng = np.random.default_rng(0xA11B)
+    recs = [rng.integers(0, 4, n, dtype=np.uint8) for n in (400, 15000, 64)]
+    ambs = [None,
+            (rng.random(15000) < 0.01).astype(np.uint8),
+            (rng.random(64) < 0.2).astype(np.uint8)]
+    got = fused.sketch_records(recs, k, w, h, ambiguous=ambs, C=1024,
+                               span_chars=6000, interpret=True)
+    for codes, amb, g in zip(recs, ambs, got):
+        want = _want(codes, k, w, h, ambiguous=amb)
+        np.testing.assert_array_equal(g, want)
+    with pytest.raises(AssertionError):
+        fused.sketch_records(recs, k, w, h, mode="superkmers",
+                             ambiguous=ambs, C=1024, interpret=True)
+    with pytest.raises(AssertionError):
+        backend.sketch_records(recs, k, w, h, mode="superkmers",
+                               ambiguous=ambs)
+    # non-TPU backend dispatch: plain per-record loop, same results
+    got_b = backend.sketch_records(recs, k, w, h, ambiguous=ambs)
+    for codes, amb, g in zip(recs, ambs, got_b):
+        np.testing.assert_array_equal(g, _want(codes, k, w, h, ambiguous=amb))

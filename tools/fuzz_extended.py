@@ -39,7 +39,10 @@ for i in range(N_CFG):
     codes = rng.integers(0, 4, n, dtype=np.uint8)
     amb_on = bool(rng.integers(0, 2)) and mode not in ("superkmers",)
     amb = (rng.random(n) < 0.02).astype(np.uint8) if amb_on else None
-    C = int(rng.choice([1024, 2048, 4096]))
+    # 8192 is the production default (DEF_C): the rowplace bit packing
+    # (VBITS/SBITS) and the MXU rank limb ranges depend on C, so the
+    # fuzz must cover it, not just the fast small geometries
+    C = int(rng.choice([1024, 2048, 4096, 8192]))
     G = int(rng.integers(1, 3)) * (-(-max(n - l + 1, 1) // (8 * C)))
     cfg = (i, k, w, mode, hcls.__name__, canonical, amb_on, C, G)
     try:
