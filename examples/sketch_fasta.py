@@ -38,6 +38,15 @@ def main():
     from simd_minimizers_tpu.seq.fasta import read_fasta
     from simd_minimizers_tpu.utils.device import acquire_devices_or_exit
 
+    # persistent compilation cache: repeat CLI runs skip the multi-minute
+    # first Mosaic compile (jit caches alone are per-process only)
+    import jax
+
+    from simd_minimizers_tpu import cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir("jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     acquire_devices_or_exit(
         float(os.environ.get("SMTPU_DEVICE_TIMEOUT_S", "900")))
 
