@@ -49,7 +49,27 @@ class Output:
         # 2 bits/char for DNA, 8 for general ASCII text (GenericSeq)
         return getattr(self.seq, "char_bits", 2)
 
+    # above this many positions, 2-bit values are assembled on the TPU
+    # (ops/device_values.py) instead of the host gather — bit-identical,
+    # but genome-scale sketches stop paying m x length bytes of host
+    # random-access traffic on one core
+    DEVICE_VALUES_MIN = 1 << 22
+
+    def _use_device_values(self, max_length: int) -> bool:
+        if (self._bits != 2 or self.length > max_length
+                or self.positions.size < Output.DEVICE_VALUES_MIN):
+            return False
+        from .ops import backend
+
+        return backend._use_fused()
+
     def values_u64(self) -> np.ndarray:
+        if self._use_device_values(32):
+            from .ops import device_values
+
+            return device_values.kmer_values_u64(
+                self._codes(), self.positions, self.length,
+                canonical=self.canonical)
         if self.canonical:
             return values.canonical_kmer_values_u64(
                 self._codes(), self.positions, self.length, self._bits)
@@ -63,6 +83,12 @@ class Output:
 
     def values_u128_limbs(self) -> tuple[np.ndarray, np.ndarray]:
         """(lo, hi) u64 limb arrays — vectorized u128s for sketch-scale use."""
+        if self._use_device_values(64):
+            from .ops import device_values
+
+            return device_values.kmer_values_u128_limbs(
+                self._codes(), self.positions, self.length,
+                canonical=self.canonical)
         if self.canonical:
             return values.canonical_kmer_values_u128_limbs(
                 self._codes(), self.positions, self.length, self._bits)

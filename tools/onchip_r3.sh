@@ -50,6 +50,9 @@ run verify_sk_rowplace python bench/exp_kernel.py --verify --n 3000000 \
 # 4b. cross-record pipeline vs per-record sync (new records path)
 run records_ab python bench/exp_records.py --nrec 16 --mbp 30
 
+# 4c. device-resident value extraction vs host gather (new values path)
+run values_ab python bench/exp_values.py --n 400000000
+
 # 5. ambiguity-plane overhead (what the batch path pays over streaming)
 run time_skipamb python bench/exp_kernel.py --n 100000000 --c 8192 \
     --input striped2r --compact rowplace --skip-amb
