@@ -173,3 +173,56 @@ def test_fused_sharded_on_tpu():
     got = fused_sharded_sketch(codes, 21, 11, h)
     want = oracle.collect_and_dedup(oracle.selected_stream(codes, 21, 11, h))
     np.testing.assert_array_equal(got, want)
+
+
+@requires_tpu
+def test_sketch_records_on_tpu():
+    """Cross-record depth-2 pipeline on the compiled kernel: per-record
+    results vs the oracle, mixed lengths incl. a multi-span record."""
+    import numpy as np
+
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import oracle
+    from simd_minimizers_tpu.ops.fused import sketch_records
+
+    rng = np.random.default_rng(0x2EC)
+    recs = [rng.integers(0, 4, n, dtype=np.uint8)
+            for n in (25, 120000, 400000, 7000)]
+    h = NtHasher(21, canonical=True)
+    got = sketch_records(recs, 21, 11, h, span_chars=150000, dna=True)
+    for codes, g in zip(recs, got):
+        if codes.size < 31:
+            assert g.size == 0
+            continue
+        want = oracle.collect_and_dedup(
+            oracle.selected_stream(codes, 21, 11, h))
+        np.testing.assert_array_equal(g, want)
+
+
+@requires_tpu
+def test_device_values_on_tpu():
+    """On-device value assembly (funnel shifts, 2-bit-group reversal,
+    u128 limbs) vs the host NumPy path on the real chip — catches any
+    TPU-specific gather/shift lowering divergence."""
+    import numpy as np
+
+    from simd_minimizers_tpu.ops import device_values as dv
+    from simd_minimizers_tpu.ops import values as hv
+
+    rng = np.random.default_rng(0xDE7)
+    codes = rng.integers(0, 4, 2_000_000, dtype=np.uint8)
+    for k in (21, 31, 33, 64):
+        pos = rng.integers(0, codes.size - k + 1, 100_000).astype(np.uint32)
+        pos[:2] = [0, codes.size - k]
+        if k <= 32:
+            np.testing.assert_array_equal(
+                dv.kmer_values_u64(codes, pos, k, canonical=True),
+                hv.canonical_kmer_values_u64(codes, pos, k))
+            np.testing.assert_array_equal(
+                dv.kmer_values_u64(codes, pos, k),
+                hv.kmer_values_u64(codes, pos, k))
+        else:
+            got = dv.kmer_values_u128_limbs(codes, pos, k, canonical=True)
+            want = hv.canonical_kmer_values_u128_limbs(codes, pos, k)
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
