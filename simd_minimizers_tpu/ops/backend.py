@@ -57,29 +57,34 @@ def sketch(
     if _use_fused():
         from . import fused
 
-        if n >= l:
-            if mode == pipeline.MODE_OPEN_SYNCMERS:
-                assert w % 2 == 1, "open syncmers require odd w"
-            if hasher.canonical:
-                assert l % 2 == 1, (
-                    f"window length l={l} must be odd to determine strand"
+        # geometry outside the fused kernel's bounds (huge halo or
+        # packed-min columns, fused.fused_supported) falls through to the
+        # XLA pipeline below — it runs on TPU too: slower, never wrong
+        if fused.fused_supported(k, w):
+            if n >= l:
+                if mode == pipeline.MODE_OPEN_SYNCMERS:
+                    assert w % 2 == 1, "open syncmers require odd w"
+                if hasher.canonical:
+                    assert l % 2 == 1, (
+                        f"window length l={l} must be odd to determine strand"
+                    )
+            if n >= (1 << 30):
+                return fused.sketch_long(
+                    codes_np, k, w, hasher, mode=mode,
+                    ambiguous_np=ambiguous_np, dna=dna,
                 )
-        if n >= (1 << 30):
-            return fused.sketch_long(
+            nw = max(n - l + 1, 1)
+            # one geometry for all sizes: measured A/B shows the big-C
+            # kernel beats a C=1024 small-block variant even at len 1024
+            # (153 vs 200 us/call) — the per-call floor is launch
+            # overhead, not block compute, so the extra compile variant
+            # bought nothing.
+            C = fused.DEF_C
+            G = _bucket_G(-(-nw // (fused.RB * C)))
+            return fused.fused_sketch(
                 codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np,
-                dna=dna,
+                C=C, G=G, dna=dna,
             )
-        nw = max(n - l + 1, 1)
-        # one geometry for all sizes: measured A/B shows the big-C kernel
-        # beats a C=1024 small-block variant even at len 1024 (153 vs
-        # 200 us/call) — the per-call floor is launch overhead, not block
-        # compute, so the extra compile variant bought nothing.
-        C = fused.DEF_C
-        G = _bucket_G(-(-nw // (fused.RB * C)))
-        return fused.fused_sketch(
-            codes_np, k, w, hasher, mode=mode, ambiguous_np=ambiguous_np,
-            C=C, G=G, dna=dna,
-        )
     if n >= l and (n - l + 1) > PIPELINE_CHUNK_WINDOWS:
         from . import chunked
 
@@ -122,9 +127,9 @@ def sketch_records(
             assert l % 2 == 1, (
                 f"window length l={l} must be odd to determine strand"
             )
-    if _use_fused():
-        from . import fused
+    from . import fused
 
+    if _use_fused() and fused.fused_supported(k, w):
         return fused.sketch_records(
             records, k, w, hasher, mode=mode, ambiguous=ambiguous, dna=dna
         )

@@ -143,7 +143,10 @@ def sketch_batch(
             from ..utils.bits import probe_is_dna
 
             dna = all(probe_is_dna(rd) for rd in reads)
-        use_fused = dna and _backend._use_fused()
+        from . import fused as _fused
+
+        use_fused = (dna and _backend._use_fused()
+                     and _fused.fused_supported(k, w, C))
     else:
         use_fused = backend == "fused"
         if use_fused:

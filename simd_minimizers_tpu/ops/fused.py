@@ -66,6 +66,21 @@ DEF_C = 8192
 ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu")
 
 
+def fused_supported(k: int, w: int, C: int | None = None) -> bool:
+    """Whether the fused kernel's geometry covers (k, w) at this C.
+
+    Two hard bounds: the per-row halo must fit the TAIL-aligned input pad
+    (l - 1 <= TAIL, the PADH <= TAIL DMA constraint), and every in-row
+    kmer column must fit the packed sliding-min's 16 position bits
+    (C + w - 1 <= 2^16). Callers outside these bounds (e.g. w in the
+    reference-supported range up to 2^15 with a large k) fall back to the
+    XLA pipeline, which runs on TPU too — slower, never wrong.
+    """
+    l = k + w - 1
+    C = C or DEF_C
+    return l - 1 <= TAIL and C + w - 1 <= (1 << 16)
+
+
 def _rowplace_enabled(compact: str, C: int, l: int) -> bool:
     # Whether the row-local compaction applies (shared by the kernel
     # body and the scratch-shape declaration in _invoke_pallas).
@@ -350,6 +365,14 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     _, SPW, SPW_PAD = rowstriped_geometry(C, PADH)
     assert PADH <= TAIL
     assert in_mode in ("striped2", "striped2r", "striped8", "i32")
+    # the packed sliding-min rides (hash_top16 | column) in one u32, so
+    # every in-row kmer column must fit 16 bits. The analog of the
+    # reference's w < 2^15 cap (src/sliding_min.rs:93-95); at C=8192 this
+    # admits w <= 57345 — wider than the crate, but never silently wrong.
+    assert C + w - 1 <= (1 << 16), (
+        f"fused kernel supports w <= {(1 << 16) - C + 1} at C={C} "
+        "(packed-min column must fit 16 bits); use a smaller C for larger w"
+    )
     emit_idx = mode == MODE_SUPERKMERS
     # Reduced output buffers (huge runs where worst-case = #windows would
     # dominate HBM): writes clamp to [0, out_cap - BCP], so an overflow

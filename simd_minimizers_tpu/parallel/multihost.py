@@ -138,8 +138,10 @@ def local_shard_sketch(
     local_amb = ambiguous_np[s:e] if ambiguous_np is not None else None
     from ..ops import backend
 
+    from ..ops import fused
+
     mesh = mesh or shard.default_mesh(local_only=True)
-    if backend._use_fused():
+    if backend._use_fused() and fused.fused_supported(k, w):
         res = shard.fused_sharded_sketch(local, k, w, hasher, mode=mode,
                                          ambiguous_np=local_amb, mesh=mesh)
     else:

@@ -378,3 +378,36 @@ def test_fused_superkmers_compact_variants(compact):
     cnt = int(count[0])
     np.testing.assert_array_equal(np.asarray(out[:cnt]), want_pos)
     np.testing.assert_array_equal(np.asarray(idx[:cnt]), want_idx)
+
+
+def test_fused_halo_bound_and_large_w_fallback(monkeypatch):
+    """The fused kernel's geometry bounds (fused_supported): the per-row
+    halo caps l - 1 at TAIL. At the exact bound the kernel is bit-exact;
+    beyond it the public dispatch falls back to the XLA pipeline (which
+    covers the reference's full w < 2^15 range, src/sliding_min.rs:93-95)
+    instead of tripping kernel asserts."""
+    from simd_minimizers_tpu.ops import backend
+    from simd_minimizers_tpu.ops import fused as F
+
+    rng = np.random.default_rng(0xB16)
+    # exact halo bound: l - 1 == TAIL
+    k, w, C = 5, F.TAIL - 3, 1024
+    l = k + w - 1
+    assert l - 1 == F.TAIL and F.fused_supported(k, w, C)
+    n = l + 3000
+    codes = rng.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=False)
+    got = F.fused_sketch(codes, k, w, h, C=C, interpret=True)
+    np.testing.assert_array_equal(got, _want(codes, k, w, h))
+    # one past the bound: unsupported, and the dispatch (with a fused
+    # backend forced) routes to the pipeline with oracle-exact results
+    assert not F.fused_supported(k, w + 1, C)
+    assert not F.fused_supported(5, (1 << 16) - 1024 + 2, 1024)  # col bits
+    monkeypatch.setattr(backend, "_use_fused", lambda: True)
+    k2, w2 = 21, 1100
+    codes2 = rng.integers(0, 4, 20000, dtype=np.uint8)
+    h2 = NtHasher(k2, canonical=False)
+    got2 = backend.sketch(codes2, k2, w2, h2, dna=True)
+    np.testing.assert_array_equal(got2, _want(codes2, k2, w2, h2))
+    got3 = backend.sketch_records([codes2], k2, w2, h2, dna=True)[0]
+    np.testing.assert_array_equal(got3, got2)
