@@ -212,7 +212,8 @@ def _butterfly(planes, shift, C):
     while d < total:
         ss = _roll_flat_left(s, d, C)
         take = (ss & d) != 0
-        hole = ((s & d) != 0) & (~take)
+        # hole is only consulted in the take-else branch, so no ~take
+        hole = (s & d) != 0
         new_planes = []
         for x in planes:
             xs = _roll_flat_left(x, d, C)
@@ -239,7 +240,7 @@ def _butterfly_packed(x, C, total):
     while d < total:
         xs = _roll_flat_left(x, d, C)
         take = ((xs >> U32(16)) & U32(d)) != 0
-        hole = (((x >> U32(16)) & U32(d)) != 0) & (~take)
+        hole = ((x >> U32(16)) & U32(d)) != 0  # else-branch only
         x = jnp.where(take, xs - U32(d << 16), jnp.where(hole, DEAD, x))
         d *= 2
     return x
@@ -839,7 +840,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         t1 = dig(xs1) == U32(1)
                         t2 = dig(xs2) == U32(2)
                         t3 = dig(xs3) == U32(3)
-                        hole = (dig(xp) != U32(0)) & (~(t1 | t2 | t3))
+                        hole = dig(xp) != U32(0)  # innermost else only
                         if emit_idx:
                             xi = jnp.where(
                                 t3, rollrow(xi, 3 * d),
@@ -863,8 +864,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         # 1 << (SBITS-1-b) parks it at the sign bit
                         f = U32(1 << (SBITS - 1 - b))
                         take = pltpu.bitcast(xs * f, jnp.int32) < 0
-                        holeb = pltpu.bitcast(xp * f, jnp.int32) < 0
-                        hole = holeb & (~take)
+                        hole = pltpu.bitcast(xp * f, jnp.int32) < 0  # else-branch only
                         if emit_idx:
                             xi = jnp.where(take, rollrow(xi, d), xi)
                         xp = jnp.where(
@@ -876,7 +876,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     while d < C:
                         xs = rollrow(xp, d)
                         take = ((xs >> U32(VBITS)) & U32(d)) != 0
-                        hole = (((xp >> U32(VBITS)) & U32(d)) != 0) & (~take)
+                        hole = ((xp >> U32(VBITS)) & U32(d)) != 0  # else-branch only
                         if emit_idx:
                             xi = jnp.where(take, rollrow(xi, d), xi)
                         xp = jnp.where(take, xs - U32(d << VBITS),

@@ -114,7 +114,7 @@ def butterfly_pack(vals2: jnp.ndarray, shift2: jnp.ndarray, dead: jnp.ndarray):
         xs = _roll_flat_left(x, d)
         ss = _roll_flat_left(s, d)
         take = (ss & d) != 0
-        hole = ((s & d) != 0) & ~take
+        hole = (s & d) != 0  # else-branch only
         x = jnp.where(take, xs, jnp.where(hole, INVALID, x))
         s = jnp.where(take, ss - d, jnp.where(hole, 0, s))
         d *= 2
@@ -201,7 +201,7 @@ def butterfly_pack_rows_packed(x: jnp.ndarray, C: int) -> jnp.ndarray:
     while d < C:
         xs = jnp.concatenate([x[:, d:], x[:, :d]], axis=1)
         take = ((xs >> jnp.uint32(16)) & jnp.uint32(d)) != 0
-        hole = (((x >> jnp.uint32(16)) & jnp.uint32(d)) != 0) & ~take
+        hole = ((x >> jnp.uint32(16)) & jnp.uint32(d)) != 0  # else-branch only
         x = jnp.where(take, xs - jnp.uint32(d << 16), jnp.where(hole, DEAD, x))
         d *= 2
     return x
@@ -224,7 +224,7 @@ def butterfly_pack_rows(planes, shift2: jnp.ndarray, dead: jnp.ndarray):
     while d < C:
         ss = jnp.concatenate([s[:, d:], s[:, :d]], axis=1)
         take = (ss & d) != 0
-        hole = ((s & d) != 0) & ~take
+        hole = (s & d) != 0  # else-branch only
         xs = [
             jnp.where(take, jnp.concatenate([x[:, d:], x[:, :d]], axis=1),
                       jnp.where(hole, INVALID, x))
