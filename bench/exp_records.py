@@ -71,9 +71,10 @@ def main():
         out = fused.sketch_records(recs, k, w, h, dna=True)
         return time.perf_counter() - t0, sum(o.size for o in out)
 
-    t_s, c_s = min(run_serial() for _ in range(args.repeats)), None
-    t_p, c_p = min(run_pipelined() for _ in range(args.repeats)), None
-    (w_s, cnt_s), (w_p, cnt_p) = t_s, t_p
+    w_s, cnt_s = min((run_serial() for _ in range(args.repeats)),
+                     key=lambda r: r[0])
+    w_p, cnt_p = min((run_pipelined() for _ in range(args.repeats)),
+                     key=lambda r: r[0])
     assert cnt_s == cnt_p, (cnt_s, cnt_p)
     print(json.dumps({
         "metric": "records_pipeline_speedup",

@@ -59,16 +59,34 @@ class Output:
         if (self._bits != 2 or self.length > max_length
                 or self.positions.size < Output.DEVICE_VALUES_MIN):
             return False
+        # never initialize a JAX backend from a pure-NumPy call path (a
+        # scalar-oracle Output must not claim the chip / hang on a wedged
+        # transport just to extract values)
+        import sys
+
+        if "jax" not in sys.modules:
+            return False
         from .ops import backend
 
         return backend._use_fused()
+
+    def _device_words(self):
+        """u32 word stream for device values — zero-copy off PackedSeq's
+        byte-aligned packed buffer, else one native repack of the codes."""
+        from .ops import device_values
+        from .seq.packed import PackedSeq
+
+        if isinstance(self.seq, PackedSeq) and self.seq.offset % 4 == 0:
+            return device_values.words_from_packed_bytes(
+                self.seq.packed_with_offset()[0])
+        return device_values.pack_words_np(self._codes())
 
     def values_u64(self) -> np.ndarray:
         if self._use_device_values(32):
             from .ops import device_values
 
             return device_values.kmer_values_u64(
-                self._codes(), self.positions, self.length,
+                self._device_words(), self.positions, self.length,
                 canonical=self.canonical)
         if self.canonical:
             return values.canonical_kmer_values_u64(
@@ -87,7 +105,7 @@ class Output:
             from .ops import device_values
 
             return device_values.kmer_values_u128_limbs(
-                self._codes(), self.positions, self.length,
+                self._device_words(), self.positions, self.length,
                 canonical=self.canonical)
         if self.canonical:
             return values.canonical_kmer_values_u128_limbs(

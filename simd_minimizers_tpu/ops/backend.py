@@ -54,6 +54,14 @@ def sketch(
     None falls back to a probe)."""
     n = int(codes_np.shape[0])
     l = k + w - 1
+    # parameter validity is path-independent (the chunked fallback calls
+    # run_chunk directly, which does not re-check)
+    if mode == pipeline.MODE_OPEN_SYNCMERS:
+        assert w % 2 == 1, "open syncmers require odd w"
+    if hasher.canonical:
+        assert l % 2 == 1, (
+            f"window length l={l} must be odd to determine strand"
+        )
     if _use_fused():
         from . import fused
 
@@ -61,13 +69,6 @@ def sketch(
         # packed-min columns, fused.fused_supported) falls through to the
         # XLA pipeline below — it runs on TPU too: slower, never wrong
         if fused.fused_supported(k, w):
-            if n >= l:
-                if mode == pipeline.MODE_OPEN_SYNCMERS:
-                    assert w % 2 == 1, "open syncmers require odd w"
-                if hasher.canonical:
-                    assert l % 2 == 1, (
-                        f"window length l={l} must be odd to determine strand"
-                    )
             if n >= (1 << 30):
                 return fused.sketch_long(
                     codes_np, k, w, hasher, mode=mode,
@@ -115,18 +116,14 @@ def sketch_records(
     sketch() on each record.
     """
     l = k + w - 1
-    assert not (mode == pipeline.MODE_SUPERKMERS and ambiguous is not None
-                and any(a is not None for a in ambiguous)), (
-        "super-k-mers cannot be combined with an ambiguity mask "
-        "(unrepresentable in the reference, /root/reference/src/lib.rs:498-503)"
-    )
-    if any(int(c.shape[0]) >= l for c in records):
-        if mode == pipeline.MODE_OPEN_SYNCMERS:
-            assert w % 2 == 1, "open syncmers require odd w"
-        if hasher.canonical:
-            assert l % 2 == 1, (
-                f"window length l={l} must be odd to determine strand"
-            )
+    pipeline.assert_no_superkmer_ambiguity(
+        mode, ambiguous is not None and any(a is not None for a in ambiguous))
+    if mode == pipeline.MODE_OPEN_SYNCMERS:
+        assert w % 2 == 1, "open syncmers require odd w"
+    if hasher.canonical:
+        assert l % 2 == 1, (
+            f"window length l={l} must be odd to determine strand"
+        )
     from . import fused
 
     if _use_fused() and fused.fused_supported(k, w):

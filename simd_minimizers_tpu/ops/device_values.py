@@ -22,22 +22,30 @@ import functools
 import numpy as np
 
 
-def pack_words_np(codes_np: np.ndarray, pad_words: int = 4) -> np.ndarray:
-    """Host: 2-bit-pack codes into the u32 little-endian word stream.
+def words_from_packed_bytes(packed: np.ndarray,
+                            pad_words: int = 4) -> np.ndarray:
+    """u32 word stream from 2-bit-packed bytes (base i at bits 2*(i%4)).
 
-    Base i lands at bit 2*(i % 16) of word i // 16 (the native byte packer
-    is already little-endian per byte, so a u32 view finishes the job).
-    `pad_words` trailing zero words let gathers at the last positions stay
-    in bounds without clamping.
+    The byte packing is already little-endian, so a <u4 view finishes the
+    job: base i lands at bit 2*(i % 16) of word i // 16. PackedSeq buffers
+    at a byte-aligned offset ARE this layout — zero repacking. `pad_words`
+    trailing zero words let gathers at the last positions stay in bounds.
+    Bits past the sequence end never leak into values (the top limb is
+    masked to 2k bits and lower limbs lie inside the k-mer).
     """
-    from .. import native
-
-    b = native.pack_2bit(codes_np)  # (ceil(n/4),) u8, base i at bits 2*(i%4)
+    b = np.ascontiguousarray(packed, np.uint8)
     pad = (-b.size) % 4
     if pad:
         b = np.concatenate([b, np.zeros(pad, np.uint8)])
     w = b.view("<u4")
     return np.concatenate([w, np.zeros(pad_words, np.uint32)])
+
+
+def pack_words_np(codes_np: np.ndarray, pad_words: int = 4) -> np.ndarray:
+    """Host: 2-bit-pack u8 codes into the u32 little-endian word stream."""
+    from .. import native
+
+    return words_from_packed_bytes(native.pack_2bit(codes_np), pad_words)
 
 
 def pack_words_jnp(codes_dev):

@@ -1420,11 +1420,10 @@ def sketch_records(
     nrec = len(records)
     ambiguous = list(ambiguous) if ambiguous is not None else [None] * nrec
     assert len(ambiguous) == nrec, "ambiguous must align with records"
-    assert not (mode == MODE_SUPERKMERS
-                and any(a is not None for a in ambiguous)), (
-        "super-k-mers cannot be combined with an ambiguity mask "
-        "(unrepresentable in the reference, /root/reference/src/lib.rs:498-503)"
-    )
+    from .pipeline import assert_no_superkmer_ambiguity
+
+    assert_no_superkmer_ambiguity(
+        mode, any(a is not None for a in ambiguous))
     rec_spans = [[] for _ in range(nrec)]
     rec_idxs = [[] for _ in range(nrec)]
     rec_starts = [[] for _ in range(nrec)]

@@ -77,6 +77,17 @@ MODE_SUPERKMERS = "superkmers"
 MODE_CLOSED_SYNCMERS = "closed_syncmers"
 MODE_OPEN_SYNCMERS = "open_syncmers"
 
+
+def assert_no_superkmer_ambiguity(mode: str, has_ambiguity: bool) -> None:
+    """Shared entry-point rule: super-k-mers x ambiguity mask is
+    unrepresentable in the reference (/root/reference/src/lib.rs:498-503);
+    every layer rejects it identically rather than computing something
+    subtly different."""
+    assert not (mode == MODE_SUPERKMERS and has_ambiguity), (
+        "super-k-mers cannot be combined with an ambiguity mask "
+        "(unrepresentable in the reference, src/lib.rs:498-503)"
+    )
+
 # Default lane geometry: C owned windows per row. Halo overhead is
 # (l-1)/C; C=4096 keeps it <1% for typical l while rows stay cache-sized.
 DEFAULT_C = 4096

@@ -124,10 +124,7 @@ def local_shard_sketch(
     the fused sharded kernel (shard.fused_sharded_sketch supports them
     all); elsewhere the XLA sharded path serves.
     """
-    assert not (mode == pipeline.MODE_SUPERKMERS and ambiguous_np is not None), (
-        "super-k-mers cannot be combined with an ambiguity mask "
-        "(unrepresentable in the reference, /root/reference/src/lib.rs:498-503)"
-    )
+    pipeline.assert_no_superkmer_ambiguity(mode, ambiguous_np is not None)
     l = k + w - 1
     n = int(codes_np.shape[0])
     empty = np.zeros(0, np.uint32)

@@ -9,9 +9,12 @@ cd "$(dirname "$0")/.."
 PROBE_LOG=/tmp/probe_tunnel.log
 
 while true; do
-  if timeout 330 python -c "
-from simd_minimizers_tpu.utils.device import acquire_devices
-devs = acquire_devices(timeout_s=300)
+  # acquire_devices_or_exit hard-exits (os._exit) on timeout so the probe
+  # is never SIGKILLed mid-claim (CLAUDE.md: killing a claim in flight can
+  # wedge the tunnel further); the outer timeout is a last-resort backstop
+  if timeout 420 python -c "
+from simd_minimizers_tpu.utils.device import acquire_devices_or_exit
+devs = acquire_devices_or_exit(timeout_s=300)
 assert any(d.platform == 'tpu' for d in devs), devs
 import jax.numpy as jnp
 assert int(jnp.arange(8).sum()) == 28  # fetch a scalar: proves execution
@@ -20,8 +23,10 @@ print('tunnel OK:', devs)
     echo "[watch] tunnel answered at $(date)"
     break
   fi
-  echo "[watch] probe failed at $(date); retry in 600s"
-  sleep 600
+  # long quiet period between probes: a recovering tunnel should not see
+  # a fresh claim every few minutes
+  echo "[watch] probe failed at $(date); retry in 900s"
+  sleep 900
 done
 
 bash tools/onchip_r3.sh 2>&1 | tee /tmp/onchip_r3_run.log
