@@ -44,10 +44,23 @@ for i in range(N_CFG):
     # fuzz must cover it, not just the fast small geometries
     C = int(rng.choice([1024, 2048, 4096, 8192]))
     G = int(rng.integers(1, 3)) * (-(-max(n - l + 1, 1) // (8 * C)))
-    cfg = (i, k, w, mode, hcls.__name__, canonical, amb_on, C, G)
+    # every 6th config routes through the cross-record pipeline instead
+    # (the same kernel, but spans + seam merges across record boundaries)
+    via_records = i % 6 == 5
+    cfg = (i, k, w, mode, hcls.__name__, canonical, amb_on, C, G,
+           "rec" if via_records else "one")
     try:
-        got = fused_sketch(codes, k, w, h, mode=mode, ambiguous_np=amb,
-                           C=C, G=G, interpret=True)
+        if via_records:
+            from simd_minimizers_tpu.ops.fused import sketch_records
+
+            got = sketch_records(
+                [codes], k, w, h, mode=mode,
+                ambiguous=[amb], C=C, interpret=True,
+                span_chars=max(int(rng.integers(l + 1, max(n, l + 2) + 1)),
+                               2 * l))[0]
+        else:
+            got = fused_sketch(codes, k, w, h, mode=mode, ambiguous_np=amb,
+                               C=C, G=G, interpret=True)
         sel = oracle.selected_stream(codes, k, w, h, ambiguous=amb)
         if mode == "superkmers":
             want = oracle.collect_and_dedup_with_index(sel)
