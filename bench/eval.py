@@ -30,6 +30,21 @@ def main():
         res = json.load(f)
     print(f"device: {res.get('device')}   n = {res.get('n'):,} bp\n")
 
+    onchip = os.path.join(os.path.dirname(path), "onchip_r3_results.json")
+    if os.path.exists(onchip):
+        with open(onchip) as f:
+            oc = json.load(f)
+        print("== on-chip runbook (tools/onchip_r3.sh via collect_onchip) ==")
+        for step, r in sorted(oc.get("results", {}).items()):
+            if isinstance(r, dict) and "value" in r:
+                unit = r.get("unit", "")
+                print(f"  {step:>16}: {r['value']} {unit}"
+                      + (f"  ({r.get('metric')})" if r.get("metric") else ""))
+        for step, why in sorted(oc.get("failures", {}).items()):
+            print(f"  {step:>16}: FAILED ({why.splitlines()[-1][:60]})"
+                  if why else f"  {step:>16}: FAILED")
+        print()
+
     if "external" in res:
         print("== external: fused kernel ns/bp (vs reference AVX2) ==")
         print(f"{'w':>3} {'k':>3} {'strand':>9} {'hasher':>6} {'input':>10} "
