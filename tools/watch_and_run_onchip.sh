@@ -9,9 +9,23 @@ cd "$(dirname "$0")/.."
 PROBE_LOG=/tmp/probe_tunnel.log
 
 while true; do
-  # acquire_devices_or_exit hard-exits (os._exit) on timeout so the probe
-  # is never SIGKILLed mid-claim (CLAUDE.md: killing a claim in flight can
-  # wedge the tunnel further); the outer timeout is a last-resort backstop
+  # stage 1 (cheap, claim-free): the axon tunnel rides a local relay
+  # listening on 8082+ (/root/.tpu_init.py). While the relay process is
+  # down, connect() refuses instantly and a JAX claim can only hang —
+  # poll TCP every 2 min and skip the expensive probe entirely.
+  if ! python -c "
+import socket
+s = socket.socket(); s.settimeout(3)
+s.connect(('127.0.0.1', 8082)); s.close()
+" 2>/dev/null; then
+    sleep 120
+    continue
+  fi
+  echo "[watch] relay port accepts at $(date); attempting device claim"
+  # stage 2: real claim. acquire_devices_or_exit hard-exits (os._exit)
+  # on timeout so the probe is never SIGKILLed mid-claim (CLAUDE.md:
+  # killing a claim in flight can wedge the tunnel further); the outer
+  # timeout is a last-resort backstop.
   if timeout 420 python -c "
 from simd_minimizers_tpu.utils.device import acquire_devices_or_exit
 devs = acquire_devices_or_exit(timeout_s=300)
@@ -23,9 +37,8 @@ print('tunnel OK:', devs)
     echo "[watch] tunnel answered at $(date)"
     break
   fi
-  # long quiet period between probes: a recovering tunnel should not see
-  # a fresh claim every few minutes
-  echo "[watch] probe failed at $(date); retry in 900s"
+  # relay up but claim failed: quiet period before the next claim
+  echo "[watch] claim failed at $(date); retry in 900s"
   sleep 900
 done
 
