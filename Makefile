@@ -1,6 +1,15 @@
 # Developer entry points (the reference's justfile equivalents)
 
-.PHONY: test test-fast bench grid tables multihost-demo
+.PHONY: test test-fast bench grid tables multihost-demo onchip fuzz
+
+# full on-chip validation + A/B runbook (real TPU; ~2h): hardware fuzz,
+# headline, kernel-variant timings, records/values A/Bs, ablation ladder
+onchip:
+	bash tools/onchip_r3.sh && python tools/collect_onchip.py
+
+# randomized differential fuzz (CPU, interpret mode vs oracle)
+fuzz:
+	python tools/fuzz_extended.py 7 60 && python tools/fuzz_shards.py
 
 test:
 	python -m pytest tests/ -x -q
