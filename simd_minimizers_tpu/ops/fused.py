@@ -930,8 +930,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     dnA = (((1,), (0,)), ((), ()))
 
                     def _limbs(x):
-                        return ((x >> U32(8)).astype(BF16),
-                                (x & U32(255)).astype(BF16))
+                        # Mosaic can't lower uint32 -> bf16 directly; the
+                        # limbs are <= 256 so the i32 hop is exact.
+                        return ((x >> U32(8)).astype(I32).astype(BF16),
+                                (x & U32(255)).astype(I32).astype(BF16))
 
                     Rh_hi, Rh_lo = _limbs(Rh)
                     Rt_hi, Rt_lo = _limbs(Rt)
