@@ -1,15 +1,25 @@
 """Diagnose the cross-record pipeline's on-chip behavior phase by phase.
 
-records_ab measured the depth-2 pipeline 12x SLOWER than the serial loop
-through the axon tunnel (pipelined ~12 s/record ~= one compile, serial
-~1 s/record). This script times each phase of both schedules on small
-records to localize where the pipelined wall time goes:
+records_ab (round 3) measured the depth-2 pipeline 12x SLOWER than the
+serial loop at 16 records x 30 Mbp through the axon tunnel (~12 s/record
+pipelined vs ~1 s/record serial), while 4 x 8 Mbp showed the pipeline
+2.6x FASTER — the failure is scale-dependent. This script localizes it:
 
-  launch  = pack + transfer + enqueue (async dispatch)
-  harvest = count fetch + sliced output fetch (the only sync)
+  schedules
+    serial     launch -> harvest per record (the A/B control)
+    manual2    hand-rolled depth-2 queue over _fused_launch/_fused_harvest
+    records    fused.sketch_records itself (the FASTA CLI default path)
 
-Run on the real chip: python bench/diag_records.py [--nrec 4] [--mbp 8]
-Prints one JSON line per schedule with per-record phase times.
+  phases (per record, attributed to the RECORD THE PHASE BELONGS TO)
+    launch  = pack + transfer + enqueue (async dispatch)
+    harvest = count fetch + sliced output fetch (the only sync)
+
+Record sizes may vary: --mbp takes either one float or a comma list
+(cycled over --nrec). Defaults reproduce the regressing configuration.
+
+Run on the real chip:
+  python bench/diag_records.py [--nrec 16] [--mbp 30] [--schedules serial,manual2,records]
+Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -27,10 +37,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nrec", type=int, default=4)
-    ap.add_argument("--mbp", type=float, default=8.0)
+    ap.add_argument("--nrec", type=int, default=16)
+    ap.add_argument("--mbp", type=str, default="30",
+                    help="Mbp per record: one float or comma list (cycled)")
     ap.add_argument("--k", type=int, default=21)
     ap.add_argument("--w", type=int, default=11)
+    ap.add_argument("--schedules", type=str, default="serial,manual2,records")
     args = ap.parse_args()
 
     from simd_minimizers_tpu import cache_dir
@@ -50,58 +62,70 @@ def main():
     l = k + w - 1
     h = NtHasher(k, canonical=True)
     rng = np.random.default_rng(0x5EC)
-    n = int(args.mbp * 1e6)
-    recs = [rng.integers(0, 4, n, dtype=np.uint8) for _ in range(args.nrec)]
-    G = fused.long_span_grid(n, l, 1 << 29)
+    sizes_mbp = [float(x) for x in args.mbp.split(",")]
+    recs = [rng.integers(0, 4, int(sizes_mbp[i % len(sizes_mbp)] * 1e6),
+                         dtype=np.uint8) for i in range(args.nrec)]
+    total_bp = sum(r.size for r in recs)
+    Gs = [fused.long_span_grid(r.size, l, 1 << 29) for r in recs]
 
-    # warm (compile once)
-    fused.fused_sketch(recs[0], k, w, h, G=G, dna=True)
+    # warm: compile every distinct grid bucket once up front so no
+    # schedule pays a compile inside its timed region
+    for G in sorted(set(Gs)):
+        nwarm = min(G * fused.RB * fused.DEF_C + l, max(r.size for r in recs))
+        fused.fused_sketch(recs[0][:nwarm], k, w, h, G=G, dna=True)
 
     def serial():
-        rows = []
-        for r in recs:
+        rows = [{} for _ in recs]
+        for i, r in enumerate(recs):
             t0 = time.perf_counter()
-            hnd = fused._fused_launch(r, k, w, h, G=G, dna=True)
+            hnd = fused._fused_launch(r, k, w, h, G=Gs[i], dna=True)
             t1 = time.perf_counter()
             out = fused._fused_harvest(hnd, "minimizers")
             t2 = time.perf_counter()
-            rows.append({"launch_s": round(t1 - t0, 4),
-                         "harvest_s": round(t2 - t1, 4),
-                         "cnt": int(out.size)})
+            rows[i] = {"launch_s": round(t1 - t0, 4),
+                       "harvest_s": round(t2 - t1, 4),
+                       "cnt": int(out.size)}
         return rows
 
-    def pipelined():
-        rows = []
-        pending = []
-        for r in recs:
+    def manual2():
+        # each phase lands in the row of the record it belongs to
+        rows = [{} for _ in recs]
+        pending = []  # (record idx, handles)
+
+        def harvest_one():
+            ri, hnd = pending.pop(0)
             t0 = time.perf_counter()
-            pending.append(fused._fused_launch(r, k, w, h, G=G, dna=True))
-            t1 = time.perf_counter()
-            row = {"launch_s": round(t1 - t0, 4)}
+            out = fused._fused_harvest(hnd, "minimizers")
+            rows[ri]["harvest_s"] = round(time.perf_counter() - t0, 4)
+            rows[ri]["cnt"] = int(out.size)
+
+        for i, r in enumerate(recs):
+            t0 = time.perf_counter()
+            pending.append((i, fused._fused_launch(r, k, w, h, G=Gs[i],
+                                                   dna=True)))
+            rows[i]["launch_s"] = round(time.perf_counter() - t0, 4)
             if len(pending) > 1:
-                t2 = time.perf_counter()
-                out = fused._fused_harvest(pending.pop(0), "minimizers")
-                row["harvest_s"] = round(time.perf_counter() - t2, 4)
-                row["cnt"] = int(out.size)
-            rows.append(row)
+                harvest_one()
         while pending:
-            t2 = time.perf_counter()
-            out = fused._fused_harvest(pending.pop(0), "minimizers")
-            rows.append({"drain_harvest_s": round(time.perf_counter() - t2, 4),
-                         "cnt": int(out.size)})
+            harvest_one()
         return rows
 
-    t0 = time.perf_counter()
-    s_rows = serial()
-    s_total = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    p_rows = pipelined()
-    p_total = time.perf_counter() - t0
-    print(json.dumps({"metric": "records_diag", "nrec": args.nrec,
-                      "mbp": args.mbp,
-                      "serial_total_s": round(s_total, 3),
-                      "pipelined_total_s": round(p_total, 3),
-                      "serial": s_rows, "pipelined": p_rows}))
+    def records():
+        # the production path itself — only total time is observable
+        out = fused.sketch_records(recs, k, w, h, dna=True)
+        return [{"cnt": int(o.size)} for o in out]
+
+    report = {"metric": "records_diag", "nrec": args.nrec,
+              "mbp": sizes_mbp, "bp": total_bp, "grids": sorted(set(Gs))}
+    for name in args.schedules.split(","):
+        fn = {"serial": serial, "manual2": manual2, "records": records}[name]
+        t0 = time.perf_counter()
+        rows = fn()
+        total = time.perf_counter() - t0
+        report[f"{name}_total_s"] = round(total, 3)
+        report[f"{name}_ns_per_bp"] = round(total / total_bp * 1e9, 4)
+        report[name] = rows
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

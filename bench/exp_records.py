@@ -71,21 +71,32 @@ def main():
         out = fused.sketch_records(recs, k, w, h, dna=True)
         return time.perf_counter() - t0, sum(o.size for o in out)
 
-    w_s, cnt_s = min((run_serial() for _ in range(args.repeats)),
-                     key=lambda r: r[0])
-    w_p, cnt_p = min((run_pipelined() for _ in range(args.repeats)),
-                     key=lambda r: r[0])
-    assert cnt_s == cnt_p, (cnt_s, cnt_p)
+    # INTERLEAVE the repeats (s,p, s,p, ...): tunnel bandwidth through the
+    # axon relay swings ~4x minute-to-minute, so batching all serial
+    # repeats before all pipelined ones confounds schedule with weather
+    # (observed round 3/4: the same config measured 0.083x, 0.64x, and
+    # 2.3x across sessions). Adjacent pairs share weather; report the
+    # per-pair ratios plus the min-of-repeats times.
+    pairs = []
+    for _ in range(args.repeats):
+        s = run_serial()
+        p = run_pipelined()
+        assert s[1] == p[1], (s[1], p[1])
+        pairs.append((s[0], p[0]))
+    w_s = min(s for s, _ in pairs)
+    w_p = min(p for _, p in pairs)
+    ratios = sorted(s / p for s, p in pairs)
     print(json.dumps({
         "metric": "records_pipeline_speedup",
         "nrec": args.nrec,
         "bp": total_bp,
         "serial_s": round(w_s, 3),
         "pipelined_s": round(w_p, 3),
-        "value": round(w_s / w_p, 3),
+        "value": round(ratios[len(ratios) // 2], 3),
         "unit": "x",
+        "pair_speedups": [round(r, 3) for r in ratios],
         "pipelined_ns_per_bp": round(w_p / total_bp * 1e9, 4),
-        "positions": int(cnt_p),
+        "positions": int(p[1]),
     }))
 
 

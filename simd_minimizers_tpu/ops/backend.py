@@ -18,6 +18,12 @@ from . import pipeline
 # (ops/chunked.py) instead of building one giant lane matrix
 PIPELINE_CHUNK_WINDOWS = 1 << 24
 
+# sketch_records routes >= this many small records (each <=
+# SMTPU_RECORDS_BATCH_MAX_BP chars) through the batch engine: below it,
+# per-record waves are already ~1 round trip each and batching only adds
+# stride padding + the ambiguity plane
+RECORDS_BATCH_MIN_COUNT = 8
+
 
 @functools.cache
 def _use_fused() -> bool:
@@ -109,9 +115,15 @@ def sketch_records(
 ):
     """Sketch many independent sequences; list of per-record results.
 
-    On TPU the fused launches are pipelined depth-2 ACROSS records
-    (fused.sketch_records), so a multi-record genome hides pack+transfer
-    behind device compute instead of synchronizing once per record.
+    On TPU, records are launched in asynchronous waves ACROSS record
+    boundaries (fused.sketch_records): host pack overlaps device compute
+    and each wave harvests with one stacked count fetch, so a
+    multi-record genome pays ~1 round trip per record instead of 2.
+    When the list holds MANY SMALL records (>= RECORDS_BATCH_MIN_COUNT
+    records of <= SMTPU_RECORDS_BATCH_MAX_BP chars), those go through the
+    batch engine instead — one launch per stride bucket for the whole
+    set, which removes even the per-record fetch (measured 29M reads/s at
+    150 bp vs ~16 reads/s for per-record dispatch through a tunnel).
     Elsewhere it is a plain per-record loop. Bit-identical to calling
     sketch() on each record.
     """
@@ -127,6 +139,43 @@ def sketch_records(
     from . import fused
 
     if _use_fused() and fused.fused_supported(k, w):
+        import os
+
+        amb = (list(ambiguous) if ambiguous is not None
+               else [None] * len(records))
+        assert len(amb) == len(records), "ambiguous must align with records"
+        small_max = int(os.environ.get("SMTPU_RECORDS_BATCH_MAX_BP", 1 << 20))
+        small = [i for i, r in enumerate(records)
+                 if l <= len(r) <= small_max]
+        if len(small) >= RECORDS_BATCH_MIN_COUNT:
+            out = [None] * len(records)
+            small_set = set(small)
+            big = [i for i in range(len(records)) if i not in small_set]
+            if big:
+                for i, res in zip(big, fused.sketch_records(
+                        [records[i] for i in big], k, w, hasher, mode=mode,
+                        ambiguous=[amb[i] for i in big], dna=dna)):
+                    out[i] = res
+            sub_amb = None
+            if any(amb[i] is not None for i in small):
+                # the batch engine wants a dense list (no None entries)
+                sub_amb = [amb[i] if amb[i] is not None
+                           else np.zeros(len(records[i]), np.uint8)
+                           for i in small]
+            res = sketch_batch([records[i] for i in small], k, w, hasher,
+                               mode=mode, ambiguous=sub_amb, dna=dna)
+            rid, parts = res[0], res[1:]
+            counts = np.bincount(rid, minlength=len(small))
+            splits = [np.split(p, np.cumsum(counts)[:-1]) for p in parts]
+            for j, i in enumerate(small):
+                out[i] = (tuple(s[j] for s in splits) if len(splits) > 1
+                          else splits[0][j])
+            empty = np.zeros(0, np.uint32)
+            for i in range(len(records)):
+                if out[i] is None:  # records shorter than one window
+                    out[i] = ((empty, empty)
+                              if mode == pipeline.MODE_SUPERKMERS else empty)
+            return out
         return fused.sketch_records(
             records, k, w, hasher, mode=mode, ambiguous=ambiguous, dna=dna
         )

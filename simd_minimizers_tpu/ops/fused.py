@@ -30,6 +30,8 @@ inputs go through the sharded / chunked drivers which add u32 offsets.
 from __future__ import annotations
 
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1256,13 +1258,18 @@ def _fused_launch(
     )
 
 
-def _fused_harvest(handles, mode: str):
-    """Materialize one launch's results on host (the only sync point)."""
+def _fused_harvest(handles, mode: str, cnt: int | None = None):
+    """Materialize one launch's results on host (the only sync point).
+
+    `cnt` short-circuits the count fetch when the caller already knows it
+    (sketch_records fetches every wave's counts in ONE stacked transfer —
+    half the tunnel round trips of count-then-data per record)."""
     empty = np.zeros(0, dtype=np.uint32)
     if handles is None:
         return (empty, empty) if mode == MODE_SUPERKMERS else empty
     out, idx, count = handles
-    cnt = int(count[0])
+    if cnt is None:
+        cnt = int(count[0])
     if mode == MODE_SUPERKMERS:
         # slice on device first: only cnt elements cross host<->device
         return np.asarray(out[:max(cnt, 1)][:cnt]), np.asarray(idx[:max(cnt, 1)][:cnt])
@@ -1401,17 +1408,19 @@ def sketch_records(
     interpret: bool = False,
     dna: bool | None = None,
 ):
-    """Sketch many independent sequences with one depth-2 launch pipeline.
+    """Sketch many independent sequences with a wave launch schedule.
 
     The analog of the reference bench's rayon par_iter over chromosomes
     (/root/reference/bench/src/bin/paper.rs:442-459) for a single device:
-    records are decomposed into spans exactly like sketch_long, but the
-    pack/transfer <-> compute overlap runs ACROSS record boundaries, so a
-    whole-genome FASTA (tens of records) pays one pipeline fill instead of
-    one synchronized round trip per record (~30 ms each through a tunnel;
-    still one dispatch each on a local host). Per-record results are
-    bit-identical to fused_sketch/sketch_long on each record alone;
-    positions are record-local.
+    records are decomposed into spans exactly like sketch_long, then ALL
+    spans are launched asynchronously (in device-memory-bounded waves) so
+    host pack of span j+1 overlaps device compute of span j, and a wave's
+    results are harvested with ONE stacked count fetch + one streaming
+    data fetch per span (1 + spans round trips instead of the 2*spans a
+    per-record sync pays). Per-record results are bit-identical to
+    fused_sketch/sketch_long on each record alone; positions are
+    record-local. SMTPU_RECORDS_WAVE_BYTES bounds in-flight device memory
+    (default 4 GiB).
 
     `ambiguous` is an optional per-record list (None entries allowed).
     Returns a list: positions, or (positions, superkmer indices) per
@@ -1429,16 +1438,42 @@ def sketch_records(
     rec_spans = [[] for _ in range(nrec)]
     rec_idxs = [[] for _ in range(nrec)]
     rec_starts = [[] for _ in range(nrec)]
-    pending = []  # (record index, launch handles) — depth 2
 
-    def harvest_one():
-        ri, hnd = pending.pop(0)
-        res = _fused_harvest(hnd, mode)
-        if mode == MODE_SUPERKMERS:
-            rec_spans[ri].append(res[0])
-            rec_idxs[ri].append(res[1])
-        else:
-            rec_spans[ri].append(res)
+    # Wave schedule. The round-3 depth-2 queue interleaved the result
+    # fetch of record i with the input upload of record i+1; through the
+    # high-latency axon tunnel two concurrent large streams lose
+    # throughput, and the per-record count-then-data sync still paid two
+    # round trips per record (measured: median 0.59-0.89x serial at 8-30
+    # Mbp records, bench/onchip_r4 records_ab). Instead: launch every
+    # span asynchronously (host pack of span j+1 still overlaps device
+    # compute of span j, uploads stream back-to-back), then harvest the
+    # whole wave — ALL counts in one stacked fetch, then one streaming
+    # data fetch per span. Round trips: 1 + spans instead of 2*spans,
+    # and uploads never compete with fetches.
+    wave = []  # (record idx, launch handles)
+    wave_bytes = 0
+    budget = int(os.environ.get("SMTPU_RECORDS_WAVE_BYTES", 4 << 30))
+    BCP = (RB + 1) * C
+
+    def _launch_footprint(G: int) -> int:
+        cap = G * RB * C + BCP + TAIL
+        out_b = 4 * cap * (2 if mode == MODE_SUPERKMERS else 1)
+        return out_b + 2 * G * RB * C  # outputs + packed input(+amb) slack
+
+    def flush_wave():
+        nonlocal wave_bytes
+        if not wave:
+            return
+        cnts = np.asarray(jnp.concatenate([hnd[2] for _, hnd in wave]))
+        for (ri, hnd), cnt in zip(wave, cnts):
+            res = _fused_harvest(hnd, mode, cnt=int(cnt))
+            if mode == MODE_SUPERKMERS:
+                rec_spans[ri].append(res[0])
+                rec_idxs[ri].append(res[1])
+            else:
+                rec_spans[ri].append(res)
+        wave.clear()
+        wave_bytes = 0
 
     for ri, codes_np in enumerate(records):
         n = int(codes_np.shape[0])
@@ -1452,19 +1487,22 @@ def sketch_records(
         amb = ambiguous[ri]
         s = 0
         while s < nw:
+            fp = _launch_footprint(Gs)
+            # flush BEFORE launching so in-flight device memory stays
+            # bounded; 128-launch cap bounds the stacked-count concat
+            if wave and (wave_bytes + fp > budget or len(wave) >= 128):
+                flush_wave()
             rec_starts[ri].append(s)
             e = min(s + span_chars - (l - 1), nw)
             chars_end = min(e - 1 + l, n)
             a = amb[s:chars_end] if amb is not None else None
-            pending.append(
+            wave.append(
                 (ri, _fused_launch(codes_np[s:chars_end], k, w, hasher,
                                    mode=mode, ambiguous_np=a, C=C, offset=s,
                                    interpret=interpret, G=Gs, dna=dna)))
-            if len(pending) > 1:
-                harvest_one()
+            wave_bytes += fp
             s = e
-    while pending:
-        harvest_one()
+    flush_wave()
 
     from ..parallel.multihost import merge_adjacent_shards
 

@@ -233,3 +233,74 @@ def test_sketch_records_skip_ambiguous_and_asserts():
     got_b = backend.sketch_records(recs, k, w, h, ambiguous=ambs)
     for codes, amb, g in zip(recs, ambs, got_b):
         np.testing.assert_array_equal(g, _want(codes, k, w, h, ambiguous=amb))
+
+
+@pytest.mark.parametrize("mode", ["minimizers", "superkmers",
+                                  "closed_syncmers", "open_syncmers"])
+def test_backend_records_batch_routing(mode, monkeypatch):
+    """backend.sketch_records routes many small records through the batch
+    engine (one launch per stride bucket) while big records take the wave
+    pipeline; the reassembled per-record results must be bit-identical to
+    sketching each record alone (incl. empty / sub-window records)."""
+    import functools
+
+    from simd_minimizers_tpu.ops import backend, batch, fused
+
+    k, w = 7, 5
+    l = k + w - 1
+    h = NtHasher(k, canonical=True)
+    rng = np.random.default_rng(0xBA7C)
+    recs = ([rng.integers(0, 4, int(n), dtype=np.uint8)
+             for n in rng.integers(l, 300, 12)]            # 12 small
+            + [np.zeros(0, np.uint8),                      # empty
+               rng.integers(0, 4, l - 1, dtype=np.uint8),  # sub-window
+               rng.integers(0, 4, 5000, dtype=np.uint8)])  # big (> max bp)
+    order = rng.permutation(len(recs))
+    recs = [recs[i] for i in order]
+
+    monkeypatch.setenv("SMTPU_RECORDS_BATCH_MAX_BP", "1000")
+    monkeypatch.setattr(backend, "_use_fused", lambda: True)
+    monkeypatch.setattr(backend, "sketch_batch",
+                        functools.partial(batch.sketch_batch, interpret=True))
+    monkeypatch.setattr(fused, "sketch_records",
+                        functools.partial(fused.sketch_records,
+                                          interpret=True, C=1024))
+    got = backend.sketch_records(recs, k, w, h, mode=mode, dna=True)
+    assert len(got) == len(recs)
+    empty = np.zeros(0, np.uint32)
+    for codes, g in zip(recs, got):
+        want = _want(codes, k, w, h, mode=mode) if codes.size >= l else (
+            (empty, empty) if mode == pipeline.MODE_SUPERKMERS else empty)
+        if mode == pipeline.MODE_SUPERKMERS:
+            np.testing.assert_array_equal(g[0], want[0])
+            np.testing.assert_array_equal(g[1], want[1])
+        else:
+            np.testing.assert_array_equal(g, want)
+
+
+def test_backend_records_batch_routing_ambiguous(monkeypatch):
+    """Batch-routed small records honor per-record ambiguity masks, with
+    None entries normalized for the batch engine."""
+    import functools
+
+    from simd_minimizers_tpu.ops import backend, batch, fused
+
+    k, w = 5, 7
+    h = NtHasher(k, canonical=True)
+    rng = np.random.default_rng(0xA3B1)
+    recs = [rng.integers(0, 4, int(n), dtype=np.uint8)
+            for n in rng.integers(40, 300, 10)] + [
+            rng.integers(0, 4, 4000, dtype=np.uint8)]
+    ambs = [(rng.random(r.size) < 0.05).astype(np.uint8) if i % 2 else None
+            for i, r in enumerate(recs)]
+
+    monkeypatch.setenv("SMTPU_RECORDS_BATCH_MAX_BP", "1000")
+    monkeypatch.setattr(backend, "_use_fused", lambda: True)
+    monkeypatch.setattr(backend, "sketch_batch",
+                        functools.partial(batch.sketch_batch, interpret=True))
+    monkeypatch.setattr(fused, "sketch_records",
+                        functools.partial(fused.sketch_records,
+                                          interpret=True, C=1024))
+    got = backend.sketch_records(recs, k, w, h, ambiguous=ambs, dna=True)
+    for codes, amb, g in zip(recs, ambs, got):
+        np.testing.assert_array_equal(g, _want(codes, k, w, h, ambiguous=amb))
