@@ -17,6 +17,7 @@ Both produce bit-identical results — this is enforced by the test suite.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -50,10 +51,15 @@ class Output:
         return getattr(self.seq, "char_bits", 2)
 
     # above this many positions, 2-bit values are assembled on the TPU
-    # (ops/device_values.py) instead of the host gather — bit-identical,
-    # but genome-scale sketches stop paying m x length bytes of host
-    # random-access traffic on one core
-    DEVICE_VALUES_MIN = 1 << 22
+    # (ops/device_values.py) instead of the host gather — bit-identical.
+    # Measured (round 4, bench/exp_values.py): device 26 ns/value compute
+    # vs host-native C++ 44 ns/value and host-NumPy ~640; the device route
+    # additionally pays ~8 B/value download + one codes upload, so it wins
+    # on a PCIe host at large m but LOSES through a slow link — override
+    # with SMTPU_DEVICE_VALUES_MIN (huge value = always host) when the
+    # device transport is the bottleneck.
+    DEVICE_VALUES_MIN = int(os.environ.get("SMTPU_DEVICE_VALUES_MIN",
+                                           1 << 22))
 
     def _use_device_values(self, max_length: int) -> bool:
         if (self._bits != 2 or self.length > max_length

@@ -62,6 +62,9 @@ def _build_and_load():
                                    ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_void_p, ctypes.c_int64]
         lib.fasta_scan.restype = ctypes.c_int64
+        lib.kmer_values_u64.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int, ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None
@@ -163,6 +166,22 @@ def fasta_scan(buf: np.ndarray, max_records: int = 1 << 20):
 
 def available() -> bool:
     return _build_and_load() is not None
+
+
+def kmer_values_u64(codes: np.ndarray, positions: np.ndarray, k: int,
+                    canonical: bool) -> np.ndarray | None:
+    """Packed u64 k-mer values at positions (2-bit codes); None if no
+    native library (caller falls back to the NumPy path)."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    positions = np.ascontiguousarray(positions, np.uint32)
+    out = np.empty(positions.size, np.uint64)
+    lib.kmer_values_u64(_ptr(codes), _ptr(positions),
+                        ctypes.c_int64(positions.size), ctypes.c_int64(k),
+                        ctypes.c_int(1 if canonical else 0), _ptr(out))
+    return out
 
 
 def rowstriped_need_chars_raw(nblocks: int, bc: int, c0: int, spw: int) -> int:

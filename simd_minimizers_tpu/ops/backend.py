@@ -1,8 +1,9 @@
 """Backend dispatch: fused Pallas kernel on TPU, XLA pipeline elsewhere.
 
 The two backends are bit-identical (enforced by tests/test_fused.py and
-tests/test_pipeline_vs_oracle.py); the fused kernel is ~4x faster on TPU
-(0.30 vs 1.1 ns/bp canonical k=21 w=11 on v5e).
+tests/test_pipeline_vs_oracle.py); the fused kernel is ~3x faster on TPU
+(round-3 on-chip: 0.17 vs 0.52 ns/bp canonical k=21 w=11 on one v5e
+chip, bench/results.json external vs xla_pipeline rows).
 """
 
 from __future__ import annotations

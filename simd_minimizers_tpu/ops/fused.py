@@ -920,15 +920,22 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     riA = jax.lax.broadcasted_iota(I32, (RB + 1, RB), 0)
                     jA = jax.lax.broadcasted_iota(I32, (RB + 1, RB), 1)
                     BF16 = jnp.bfloat16
-                    Ah = jnp.zeros((RB + 1, RB), BF16)
-                    At = jnp.zeros((RB + 1, RB), BF16)
-                    one = jnp.full((RB + 1, RB), 1, BF16)
-                    zero = jnp.zeros((RB + 1, RB), BF16)
+                    # One-hot routing matrices built with i32 arithmetic
+                    # ONLY: boolean (i1) vectors on the sub-tile (9, 8)
+                    # shape hit "Invalid relayout vector<9x8xi1>" in
+                    # Mosaic (same family as the bool-concat pitfall), so
+                    # eq(a,b) is computed as 1 - min(|a-b|, 1).
+                    AhI = jnp.zeros((RB + 1, RB), I32)
+                    AtI = jnp.zeros((RB + 1, RB), I32)
                     for r in range(RB):
                         q = jnp.sum(qv[r : r + 1, :1])    # scalar
-                        sel_r = jA == r
-                        Ah = Ah + jnp.where(sel_r & (riA == q), one, zero)
-                        At = At + jnp.where(sel_r & (riA == q + 1), one, zero)
+                        col = 1 - jnp.minimum(jnp.abs(jA - r), 1)
+                        AhI = AhI + col * (
+                            1 - jnp.minimum(jnp.abs(riA - q), 1))
+                        AtI = AtI + col * (
+                            1 - jnp.minimum(jnp.abs(riA - (q + 1)), 1))
+                    Ah = AhI.astype(BF16)
+                    At = AtI.astype(BF16)
                     dnA = (((1,), (0,)), ((), ()))
 
                     def _limbs(x):

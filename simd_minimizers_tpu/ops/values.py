@@ -7,9 +7,12 @@ Canonical values are min(fwd, revcomp) (/root/reference/src/lib.rs:598-612);
 the complement of a code is ``c ^ 2`` (in the 2-bit space for DNA; applied
 to the raw byte for general text, consistently with canonical hashing).
 
-At sketch scale (5e8+ minimizers on a single host core) everything here
-stays in vectorized NumPy; u128 values are materialized as (lo, hi) u64
-limb arrays, with Python-int lists only built on explicit request.
+For 2-bit codes the u64 paths dispatch to a native C++ extractor
+(native/packseq.cpp kmer_values_u64, ~44 ns/value canonical vs ~640 for
+the NumPy gather: one sequential pass per position instead of an (m, k)
+index-matrix build); everything else stays in vectorized NumPy. u128
+values are materialized as (lo, hi) u64 limb arrays, with Python-int
+lists only built on explicit request.
 """
 
 from __future__ import annotations
@@ -48,6 +51,12 @@ def kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int,
     assert bits * length <= 64, f"values_u64 requires {bits}*length <= 64"
     if positions.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    if bits == 2:
+        from .. import native
+
+        v = native.kmer_values_u64(codes, positions, length, canonical=False)
+        if v is not None:
+            return v
     return _chunked(
         lambda p: _pack_u64(_gather_windows(codes, p, length), bits), positions)
 
@@ -64,6 +73,12 @@ def revcomp_kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: in
 
 def canonical_kmer_values_u64(codes: np.ndarray, positions: np.ndarray, length: int,
                               bits: int = 2) -> np.ndarray:
+    if bits == 2 and positions.size:
+        from .. import native
+
+        v = native.kmer_values_u64(codes, positions, length, canonical=True)
+        if v is not None:
+            return v
     return np.minimum(
         kmer_values_u64(codes, positions, length, bits),
         revcomp_kmer_values_u64(codes, positions, length, bits),

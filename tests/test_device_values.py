@@ -115,3 +115,29 @@ def test_output_routes_to_device_values_at_scale(monkeypatch):
     # general text (8-bit) must NOT route to the 2-bit device path
     assert not out_txt._use_device_values(32)
     assert out_txt.values_u64().size == out_txt.positions.size
+
+
+@pytest.mark.parametrize("k,canonical", [(1, False), (5, True), (21, True),
+                                         (31, False), (32, True)])
+def test_values_native_matches_numpy(k, canonical):
+    """The native C++ extractor (the default host path for 2-bit codes)
+    must be bit-identical to the pure-NumPy gather formulation."""
+    from simd_minimizers_tpu import native
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0xC11 + k)
+    codes = rng.integers(0, 4, 5000, dtype=np.uint8)
+    pos = np.sort(rng.choice(5000 - k, 700, replace=False).astype(np.uint32))
+    got = native.kmer_values_u64(codes, pos, k, canonical=canonical)
+    fwd = hv._chunked(
+        lambda p: hv._pack_u64(hv._gather_windows(codes, p, k), 2), pos)
+    if canonical:
+        rc = hv._chunked(
+            lambda p: hv._pack_u64(
+                (hv._gather_windows(codes, p, k) ^ np.uint8(2))[:, ::-1], 2),
+            pos)
+        want = np.minimum(fwd, rc)
+    else:
+        want = fwd
+    np.testing.assert_array_equal(got, want)

@@ -1,11 +1,11 @@
-"""Merge tools/onchip_r3.sh outputs (/tmp/onchip_r3/*.json) into one
-committable artifact: bench/onchip_r3_results.json.
+"""Merge an on-chip runbook's outputs (/tmp/onchip_r*/*.json) into one
+committable artifact: bench/<dirname>_results.json.
 
 Each runbook step writes a single JSON line (or nothing on failure, with
 stderr in the matching .err file). This collects whatever exists, keyed
 by step name, and records failures so partial runs stay honest.
 
-    python tools/collect_onchip.py [/tmp/onchip_r3]
+    python tools/collect_onchip.py [/tmp/onchip_r4]
 """
 
 from __future__ import annotations
@@ -16,9 +16,10 @@ import sys
 
 
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/onchip_r3"
+    src = sys.argv[1] if len(sys.argv) > 1 else "/tmp/onchip_r4"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_path = os.path.join(repo, "bench", "onchip_r3_results.json")
+    out_path = os.path.join(
+        repo, "bench", os.path.basename(os.path.normpath(src)) + "_results.json")
     results: dict = {}
     failures: dict = {}
     if not os.path.isdir(src):
