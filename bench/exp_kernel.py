@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--fwd", action="store_true")
     ap.add_argument("--input", default="striped2",
                     choices=["striped2", "striped2r"])
-    ap.add_argument("--compact", default="rowplace",  # the production default
+    ap.add_argument("--compact", default=None,  # None = fused.DEF_COMPACT
                     choices=["flat", "rowplace", "rowplace4", "rowsign",
                              "rowmxu", "rowsignmxu"])
     ap.add_argument("--mode", default="minimizers",
@@ -150,7 +150,8 @@ def main():
     ns = per_run * 1e9 / n
     print(json.dumps({"rb": args.rb, "C": C, "input": args.input,
                       "mode": args.mode,
-                      "ablate": args.ablate, "compact": args.compact,
+                      "ablate": args.ablate,
+                      "compact": args.compact or F.DEF_COMPACT,
                       "k": k, "w": w, "canonical": not args.fwd,
                       "skip_amb": args.skip_amb,
                       "ns_per_bp": round(ns, 4),

@@ -55,7 +55,12 @@ def _sync(x):
 
 
 def timed(fn, reps=5):
-    """Amortized per-run seconds for fn() returning a device array."""
+    """Amortized per-run seconds for fn() returning a device array.
+
+    Identical discipline to bench.py's headline loop (min of 3 batches,
+    single-batch floor subtracted): the round-3 grid used min-of-2 and
+    its external row landed 8% above the headline on the same config —
+    per-run tunnel jitter, not a program difference."""
     _sync(fn())
 
     def batch(m):
@@ -66,7 +71,7 @@ def timed(fn, reps=5):
         return time.perf_counter() - t
 
     t1 = min(batch(1) for _ in range(3))
-    tm = min(batch(reps + 1) for _ in range(2))
+    tm = min(batch(reps + 1) for _ in range(3))
     return max((tm - t1) / reps, 1e-9)
 
 
@@ -281,7 +286,56 @@ def bench_short(quick=False):
           f"{floor['per_call_us']:.0f} us/call with transfer, "
           f"{floor.get('device_floor_us', -1):.0f} us on-chip floor "
           f"(sync round trip {floor['sync_us']:.0f} us)", file=sys.stderr)
+
+    # amortized short-sequence throughput: the same lengths BATCHED
+    # through the flat-slot engine — the TPU answer to per-sequence
+    # dispatch. The reference's short table is itself amortized over
+    # total_len/n sequences per timing (paper.rs:61-115; canonical NEON:
+    # 21.4 ns/bp @16 -> 2.82 @8192), so these rows are the fair
+    # comparison; the per-call rows above are the latency story.
+    batch_cases = ([(1 << 21, 64), (1 << 19, 256), (1 << 17, 1024),
+                    (1 << 14, 8192)] if not quick else [(1 << 14, 8192)])
+    for B, L in batch_cases:
+        row = _batch_device_row(B, L, k, w, h, rng)
+        row["batched"] = True
+        rows.append(row)
+        print(f"[short] batched {B} x {L}bp: {row['ns_per_bp']:.4f} ns/bp "
+              f"amortized ({row['reads_per_s']/1e6:.2f} M seqs/s)",
+              file=sys.stderr)
     return rows
+
+
+def _batch_device_row(B, L, k, w, h, rng):
+    """Device-resident timing of one (B reads x L bp) batch through the
+    flat-slot engine (ops/batch.py geometry, one fused launch)."""
+    from simd_minimizers_tpu.ops import batch as BT
+    from simd_minimizers_tpu.ops.backend import _bucket_G
+
+    key, table, mul_const = hasher_jit_args(h)
+    stride = BT._stride_bucket(L + 1)
+    nw = B * stride
+    C = F.DEF_C
+    BC = F.RB * C
+    G = _bucket_G(-(-nw // BC))
+    PADH = F.padh_for(k + w - 1)
+    need = max(G * BC + F.TAIL, F.rowstriped_need_chars(G, C, PADH))
+    reads = list(rng.integers(0, 4, (B, L), dtype=np.uint8))
+    codes, amb = BT._fill_slots(reads, None, stride, need)
+    args = (jnp.asarray(F.pack_rowstriped(codes, G, C, PADH)),
+            jnp.asarray(F.pack_rowstriped(amb, G, C, PADH)),
+            jnp.asarray([nw, 0], np.int32), jnp.asarray(table),
+            jnp.asarray([mul_const], np.uint32))
+    kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=True,
+              hasher_key=key, C=C, G=G, input_mode="striped2r")
+
+    def run():
+        return F._fused_call(*args, **kw)[2]
+
+    t = timed(run)
+    n = B * L
+    return {"reads": B, "len": L, "stride": stride,
+            "ns_per_bp": round(t * 1e9 / n, 4),
+            "reads_per_s": round(B / t)}
 
 
 def bench_batch(quick=False):
@@ -292,45 +346,19 @@ def bench_batch(quick=False):
     environment artifact; on a TPU VM PCIe is ~50x faster). ns/bp is per
     REAL read base; the padding waste (stride vs L) is paid, not hidden.
     """
-    from simd_minimizers_tpu import native
-    from simd_minimizers_tpu.ops import batch as BT
-
     k, w = 21, 11
     h = NtHasher(k, canonical=True)
-    key, table, mul_const = hasher_jit_args(h)
     rows = []
     cases = [(100_000, 1000), (131_072, 250), (131_072, 150)]  # (B, L)
     if quick:
         cases = cases[:1]
     rng = np.random.default_rng(5)
     for B, L in cases:
-        stride = BT._stride_bucket(L + 1)
-        nw = B * stride
-        C = F.DEF_C
-        BC = F.RB * C
-        from simd_minimizers_tpu.ops.backend import _bucket_G
-        G = _bucket_G(-(-nw // BC))
-        PADH = F.padh_for(k + w - 1)
-        need = max(G * BC + F.TAIL, F.rowstriped_need_chars(G, C, PADH))
-        reads = list(rng.integers(0, 4, (B, L), dtype=np.uint8))
-        codes, amb = BT._fill_slots(reads, None, stride, need)
-        args = (jnp.asarray(F.pack_rowstriped(codes, G, C, PADH)),
-                jnp.asarray(F.pack_rowstriped(amb, G, C, PADH)),
-                jnp.asarray([nw, 0], np.int32), jnp.asarray(table),
-                jnp.asarray([mul_const], np.uint32))
-        kw = dict(k=k, w=w, mode="minimizers", skip_ambiguous=True,
-                  hasher_key=key, C=C, G=G, input_mode="striped2r")
-
-        def run():
-            return F._fused_call(*args, **kw)[2]
-
-        t = timed(run)
-        n = B * L
-        rows.append({"reads": B, "len": L, "stride": stride,
-                     "ns_per_bp": round(t * 1e9 / n, 4),
-                     "reads_per_s": round(B / t)})
-        print(f"[batch] {B} x {L}bp (stride {stride}): {t*1e9/n:.4f} ns/bp "
-              f"({B/t/1e6:.2f} M reads/s)", file=sys.stderr)
+        row = _batch_device_row(B, L, k, w, h, rng)
+        rows.append(row)
+        print(f"[batch] {B} x {L}bp (stride {row['stride']}): "
+              f"{row['ns_per_bp']:.4f} ns/bp "
+              f"({row['reads_per_s']/1e6:.2f} M reads/s)", file=sys.stderr)
     return rows
 
 
@@ -534,6 +562,7 @@ def main():
         ("batch", "batch", lambda: bench_batch(args.quick)),
         ("plot", "plot", lambda: bench_plot(args.quick)),
         ("human_genome", "human_genome", lambda: bench_human_genome(args.quick)),
+        ("fasta_e2e", "fasta_e2e", lambda: _fasta_e2e(args.quick)),
     ]
     for key, name, fn in experiments:
         if name in skip:
@@ -548,6 +577,13 @@ def main():
     print(json.dumps({"metric": "paper_grid", "value": 1, "unit": "done", "vs_baseline": 1}))
 
 
+
+
+def _fasta_e2e(quick=False):
+    """FASTA-file -> per-record positions end-to-end (bench/exp_fasta.py)."""
+    from exp_fasta import bench_fasta_e2e
+
+    return bench_fasta_e2e(quick)
 
 
 def bench_human_genome(quick=False):

@@ -67,6 +67,16 @@ DEF_C = 8192
 
 ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu")
 
+# Production compaction. Round-4 on-chip 3x A/B (canonical k21 w11, 1e8
+# bp, bench/onchip_r4_results.json time_* rows): rowmxu 0.1496-0.1546
+# ns/bp vs rowplace 0.1703-0.1724, rowsign 0.1713-0.1752, rowsignmxu
+# 0.1516-0.1533 — the MXU one-hot paint beats the dynamic-roll masked-add
+# paint by ~12%, outside the +-0.002 noise band. Where the MXU paint
+# doesn't apply (super-k-mers' full-u32 index plane, l > 255 limb bound;
+# _mxu_paint_enabled) the kernel automatically degrades to the rowplace
+# paint, so one default serves every mode.
+DEF_COMPACT = "rowmxu"
+
 
 def fused_supported(k: int, w: int, C: int | None = None) -> bool:
     """Whether the fused kernel's geometry covers (k, w) at this C.
@@ -358,7 +368,8 @@ def rowstriped_geometry(C: int, PADH: int) -> tuple[int, int, int]:
 
 def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                  C, G, PADH, in_mode="striped2", fold_ascii=False, ablate=None,
-                 out_cap=None, compact="rowplace"):
+                 out_cap=None, compact=None):
+    compact = compact or DEF_COMPACT
     l = k + w - 1
     BC = RB * C
     BCP = (RB + 1) * C  # butterfly width incl. the carried-tail row
@@ -1075,7 +1086,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
                    *, k, w, mode, skip_ambiguous, hasher_key, C, G,
                    interpret=False, packed_input=None, input_mode=None,
                    fold_ascii=False, ablate=None, out_cap=None,
-                   compact="rowplace"):
+                   compact=None):
     """Raw pallas_call invocation (composable inside shard_map/jit).
 
     input_mode: "striped2" (2-bit DNA words), "striped8" (raw ASCII bytes,
@@ -1085,6 +1096,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
     """
     if input_mode is None:
         input_mode = "striped2" if packed_input else "i32"
+    compact = compact or DEF_COMPACT
     kind, canonical, rot_offset = hasher_key
     l = k + w - 1
     PADH = max(128, -(-(l - 1) // 128) * 128)
@@ -1314,6 +1326,53 @@ def fused_sketch(
     )
 
 
+class _LaunchWave:
+    """Device-memory-bounded asynchronous launch queue with stacked-count
+    harvest.
+
+    Launches are enqueued without synchronizing (host pack of the next
+    span overlaps device compute); a wave is harvested with ONE stacked
+    count fetch plus one streaming data fetch per launch — 1 + N round
+    trips instead of the 2N a per-launch count-then-data sync pays, and
+    uploads never run concurrently with result fetches (two interleaved
+    large streams over a high-latency link lose throughput; measured
+    round 4, bench/onchip_r4_results.json records rows).
+    SMTPU_RECORDS_WAVE_BYTES bounds in-flight device memory (default
+    4 GiB); the 128-launch cap bounds the stacked-count concat program.
+    """
+
+    def __init__(self, mode: str, sink):
+        self.mode = mode
+        self.sink = sink  # sink(key, harvested result)
+        self.wave = []  # (key, launch handles)
+        self.bytes = 0
+        self.budget = int(os.environ.get("SMTPU_RECORDS_WAVE_BYTES",
+                                         4 << 30))
+
+    @staticmethod
+    def launch_footprint(G: int, C: int, mode: str) -> int:
+        cap = G * RB * C + (RB + 1) * C + TAIL
+        out_b = 4 * cap * (2 if mode == MODE_SUPERKMERS else 1)
+        return out_b + 2 * G * RB * C  # outputs + packed input(+amb) slack
+
+    def add(self, key, handles, footprint: int):
+        # flush BEFORE launching more so in-flight memory stays bounded
+        if self.wave and (self.bytes + footprint > self.budget
+                          or len(self.wave) >= 128):
+            self.flush()
+        self.wave.append((key, handles))
+        self.bytes += footprint
+
+    def flush(self):
+        if not self.wave:
+            return
+        cnts = np.asarray(jnp.concatenate([hnd[2] for _, hnd in self.wave]))
+        for (key, hnd), cnt in zip(self.wave, cnts):
+            self.sink(key, _fused_harvest(hnd, self.mode, cnt=int(cnt)))
+        self.wave.clear()
+        self.bytes = 0
+
+
 def long_span_grid(n: int, l: int, span_chars: int, C: int | None = None) -> int:
     """Pow2-bucketed G that serves EVERY span of a sketch_long stream
     (incl. the smaller last one): a single Mosaic compile for the whole
@@ -1346,10 +1405,9 @@ def sketch_long(
     "split inputs over 4 GB chars" guidance (src/sliding_min.rs:96-99).
 
     Host packing and host->device transfer are OVERLAPPED with device
-    compute: span i+1 is packed and its kernel enqueued (JAX dispatch is
-    async) before span i's results are synchronized, with at most two
-    spans in flight so device memory stays bounded at 2 spans of
-    input + output buffers.
+    compute by the wave launch schedule (_LaunchWave): spans are enqueued
+    asynchronously up to a device-memory budget, then each wave harvests
+    with one stacked count fetch + one streaming data fetch per span.
     """
     l = k + w - 1
     n = int(codes_np.shape[0])
@@ -1367,31 +1425,27 @@ def sketch_long(
     spans = []
     idxs = []
     starts = []
-    pending = []  # (handles,) queue — depth 2 double-buffering
 
-    def harvest_one():
-        res = _fused_harvest(pending.pop(0), mode)
+    def sink(_key, res):
         if mode == MODE_SUPERKMERS:
             spans.append(res[0])
             idxs.append(res[1])
         else:
             spans.append(res)
 
+    wave = _LaunchWave(mode, sink)
+    fp = _LaunchWave.launch_footprint(Gs, C, mode)
     s = 0
     while s < nw:
         starts.append(s)
         e = min(s + span_chars - (l - 1), nw)
         chars_end = min(e - 1 + l, n)
         amb = ambiguous_np[s:chars_end] if ambiguous_np is not None else None
-        pending.append(
-            _fused_launch(codes_np[s:chars_end], k, w, hasher, mode=mode,
-                          ambiguous_np=amb, C=C, offset=s, interpret=interpret,
-                          G=Gs, dna=dna))
-        if len(pending) > 1:
-            harvest_one()
+        wave.add(s, _fused_launch(codes_np[s:chars_end], k, w, hasher,
+                                  mode=mode, ambiguous_np=amb, C=C, offset=s,
+                                  interpret=interpret, G=Gs, dna=dna), fp)
         s = e
-    while pending:
-        harvest_one()
+    wave.flush()
     if mode in (MODE_CLOSED_SYNCMERS, MODE_OPEN_SYNCMERS):
         return np.concatenate(spans)  # window indices never repeat across spans
     from ..parallel.multihost import merge_adjacent_shards
@@ -1446,42 +1500,14 @@ def sketch_records(
     rec_idxs = [[] for _ in range(nrec)]
     rec_starts = [[] for _ in range(nrec)]
 
-    # Wave schedule. The round-3 depth-2 queue interleaved the result
-    # fetch of record i with the input upload of record i+1; through the
-    # high-latency axon tunnel two concurrent large streams lose
-    # throughput, and the per-record count-then-data sync still paid two
-    # round trips per record (measured: median 0.59-0.89x serial at 8-30
-    # Mbp records, bench/onchip_r4 records_ab). Instead: launch every
-    # span asynchronously (host pack of span j+1 still overlaps device
-    # compute of span j, uploads stream back-to-back), then harvest the
-    # whole wave — ALL counts in one stacked fetch, then one streaming
-    # data fetch per span. Round trips: 1 + spans instead of 2*spans,
-    # and uploads never compete with fetches.
-    wave = []  # (record idx, launch handles)
-    wave_bytes = 0
-    budget = int(os.environ.get("SMTPU_RECORDS_WAVE_BYTES", 4 << 30))
-    BCP = (RB + 1) * C
+    def sink(ri, res):
+        if mode == MODE_SUPERKMERS:
+            rec_spans[ri].append(res[0])
+            rec_idxs[ri].append(res[1])
+        else:
+            rec_spans[ri].append(res)
 
-    def _launch_footprint(G: int) -> int:
-        cap = G * RB * C + BCP + TAIL
-        out_b = 4 * cap * (2 if mode == MODE_SUPERKMERS else 1)
-        return out_b + 2 * G * RB * C  # outputs + packed input(+amb) slack
-
-    def flush_wave():
-        nonlocal wave_bytes
-        if not wave:
-            return
-        cnts = np.asarray(jnp.concatenate([hnd[2] for _, hnd in wave]))
-        for (ri, hnd), cnt in zip(wave, cnts):
-            res = _fused_harvest(hnd, mode, cnt=int(cnt))
-            if mode == MODE_SUPERKMERS:
-                rec_spans[ri].append(res[0])
-                rec_idxs[ri].append(res[1])
-            else:
-                rec_spans[ri].append(res)
-        wave.clear()
-        wave_bytes = 0
-
+    wave = _LaunchWave(mode, sink)
     for ri, codes_np in enumerate(records):
         n = int(codes_np.shape[0])
         assert n < (1 << 32), "positions are u32: 2^32 chars max per record"
@@ -1491,25 +1517,20 @@ def sketch_records(
         # pow2-bucketed per record (== the single-sequence grid choice),
         # so same-magnitude records share one compiled program
         Gs = long_span_grid(n, l, span_chars, C)
+        fp = _LaunchWave.launch_footprint(Gs, C, mode)
         amb = ambiguous[ri]
         s = 0
         while s < nw:
-            fp = _launch_footprint(Gs)
-            # flush BEFORE launching so in-flight device memory stays
-            # bounded; 128-launch cap bounds the stacked-count concat
-            if wave and (wave_bytes + fp > budget or len(wave) >= 128):
-                flush_wave()
             rec_starts[ri].append(s)
             e = min(s + span_chars - (l - 1), nw)
             chars_end = min(e - 1 + l, n)
             a = amb[s:chars_end] if amb is not None else None
-            wave.append(
-                (ri, _fused_launch(codes_np[s:chars_end], k, w, hasher,
-                                   mode=mode, ambiguous_np=a, C=C, offset=s,
-                                   interpret=interpret, G=Gs, dna=dna)))
-            wave_bytes += fp
+            wave.add(ri, _fused_launch(codes_np[s:chars_end], k, w, hasher,
+                                       mode=mode, ambiguous_np=a, C=C,
+                                       offset=s, interpret=interpret, G=Gs,
+                                       dna=dna), fp)
             s = e
-    flush_wave()
+    wave.flush()
 
     from ..parallel.multihost import merge_adjacent_shards
 

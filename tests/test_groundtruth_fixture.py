@@ -37,6 +37,21 @@ import pytest
 FIXTURE = os.path.join(os.path.dirname(__file__), "groundtruth.json")
 
 
+def test_groundtruth_required_flag():
+    """CI tripwire: with SMTPU_REQUIRE_GROUNDTRUTH=1 a missing fixture is
+    a LOUD FAILURE, not a skip — any future networked run that can
+    generate ground truth (tools/gen_groundtruth.rs) must not silently
+    forget to. Unset, the absence stays a documented skip."""
+    if not os.environ.get("SMTPU_REQUIRE_GROUNDTRUTH"):
+        pytest.skip("SMTPU_REQUIRE_GROUNDTRUTH not set")
+    assert os.path.exists(FIXTURE), (
+        "SMTPU_REQUIRE_GROUNDTRUTH=1 but tests/groundtruth.json is absent: "
+        "generate it with tools/gen_groundtruth.rs against the real "
+        "simd-minimizers crate (recipe in its header), then re-run. The "
+        "'bit-identical' claims rest on a k=5 reconstruction until then."
+    )
+
+
 @pytest.mark.skipif(
     not os.path.exists(FIXTURE),
     reason="no ground-truth fixture present (generate one with the Rust "

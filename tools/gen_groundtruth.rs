@@ -32,6 +32,11 @@
 //! {"cases": [{"seq": "ACGT...", "k": 21, "w": 11, "hasher": "nt",
 //!             "canonical": true, "seed": null, "positions": [..]}]}
 
+// API re-checked against the reference v3.0.0 (2026-08-19): `seq_hash`
+// and `packed_seq` are re-exported at src/lib.rs:165-167; the hasher
+// names match src/test.rs:6 (`use seq_hash::{AntiLexHasher, MulHasher,
+// NtHasher}`); `new_with_seed` per src/lib.rs:157 and `run_once`
+// returning Vec<u32> per src/lib.rs:364-368.
 use simd_minimizers::seq_hash::{AntiLexHasher, MulHasher, NtHasher};
 use simd_minimizers::packed_seq::{PackedSeqVec, SeqVec};
 use simd_minimizers::{canonical_minimizers, minimizers};

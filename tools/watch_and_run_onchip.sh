@@ -42,7 +42,7 @@ print('tunnel OK:', devs)
   sleep 900
 done
 
-bash tools/onchip_r3.sh 2>&1 | tee /tmp/onchip_r3_run.log
+bash tools/onchip_r4.sh 2>&1 | tee /tmp/onchip_r4_run.log
 echo "[watch] runbook done at $(date); headline:"
 timeout 2400 python bench.py 2>/tmp/bench_headline.err | tee /tmp/bench_headline.json
 echo "[watch] all done at $(date)"
