@@ -106,3 +106,23 @@ def test_pack_rowstriped_multi_casts_wide_dtypes():
     got = native.pack_2bit_rowstriped_multi(
         codes8.astype(np.int64), starts, lens, G, BC, C, SP, SPW, SPW_PAD)
     np.testing.assert_array_equal(got, want)
+
+
+def test_synth_fasta_width_multiple(tmp_path):
+    """Records whose length is an exact multiple of the line width must
+    keep their trailing newline so the next '>' starts a line (round-4
+    fasta_e2e bug: 24 x 45 Mbp parsed as ONE record with headers folded
+    into the sequence)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "bench"))
+    from exp_fasta import synth_fasta
+
+    for n_bp in (120, 1000):  # exact multiple of width=60, and ragged
+        path = str(tmp_path / f"s{n_bp}.fa")
+        synth_fasta(path, 3, n_bp / 1e6)
+        recs = read_fasta(path)
+        assert len(recs) == 3, (n_bp, len(recs))
+        assert all(len(r) == n_bp for r in recs)
+        assert [r.name for r in recs] == ["synth0", "synth1", "synth2"]
