@@ -103,16 +103,17 @@ def _rowplace_enabled(compact: str, C: int, l: int) -> bool:
 
 
 def _mxu_paint_enabled(mode: str, compact: str, C: int, l: int) -> bool:
-    # The MXU paint splits painted values into two 8-bit bf16 limbs,
-    # which only covers the (+1-encoded) block-relative data plane; the
-    # super-k-mer index plane carries full u32s, so that mode keeps the
-    # masked-add paint. Exactness bound: the painted value reaches
-    # enc_max = 8C + l (rowbase 7C + row-relative < C+l, +1 encoding),
-    # and the hi limb enc>>8 is only bf16-exact up to 256 — so require
+    # The MXU paint splits painted values into 8-bit bf16 limbs: two for
+    # the (+1-encoded) block-relative data plane, four for the full-u32
+    # super-k-mer index plane (each dot routes at most one nonzero term
+    # <= 255 per output lane, so f32 accumulation is exact; limbs are
+    # recombined in u32 with multiplies — Mosaic miscompiles vector
+    # left-shifts >= 16). Exactness bound for the data plane: enc_max =
+    # 8C + l (rowbase 7C + row-relative < C+l, +1 encoding), and the hi
+    # limb enc>>8 is only bf16-exact up to 256 — so require
     # enc_max >> 8 <= 256, i.e. 8C + l <= 65791 (l <= 255 at C=8192).
     return (_rowplace_enabled(compact, C, l)
             and compact in ("rowmxu", "rowsignmxu")
-            and mode != MODE_SUPERKMERS
             and 8 * C + l <= 65791)
 
 
@@ -407,10 +408,13 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                out_hbm, idx_hbm, count_ref,
                slab0, slab1, amb_slab, outbuf, idxbuf, tailbuf, tailbuf2,
                state, *rest):
-        p_scr = None
+        p_scr = i_scr = None
         if rowplace_k:
             if _mxu_paint_enabled(mode, compact, C, l):
-                e_scr, e2_scr, p_scr, sem_in, sem, sem2 = rest
+                if mode == MODE_SUPERKMERS:
+                    e_scr, e2_scr, p_scr, i_scr, sem_in, sem, sem2 = rest
+                else:
+                    e_scr, e2_scr, p_scr, sem_in, sem, sem2 = rest
             else:
                 e_scr, e2_scr, sem_in, sem, sem2 = rest
         else:
@@ -917,12 +921,19 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     # enc <= 8C + l + 1, so hi = enc>>8 <= 256 (a power
                     # of two, exactly representable in bf16) and each
                     # output lane receives exactly one nonzero term.
+                    # idx plane: masked to the packed prefix so
+                    # untargeted lanes only ever route zeros
+                    enc_i = (jnp.where(jw < rt, xi, U32(0))
+                             if emit_idx else None)
                     qv = ro >> logC                       # (RB, 1)
                     ccv = ro - (qv << logC)               # (RB, 1)
                     for r in range(RB):
                         cc = jnp.sum(ccv[r : r + 1, :1])  # scalar
                         p_scr[r : r + 1, :] = pltpu.roll(
                             enc[r : r + 1], cc, axis=1)
+                        if emit_idx:
+                            i_scr[r : r + 1, :] = pltpu.roll(
+                                enc_i[r : r + 1], cc, axis=1)
                     R = p_scr[...]
                     jR = jax.lax.broadcasted_iota(I32, (RB, C), 1)
                     headm = jR >= ccv
@@ -970,6 +981,32 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                               At, Rt_lo, dnA,
                               preferred_element_type=jnp.float32))
                     acc = (hi * jnp.float32(256) + lo).astype(I32).astype(U32)
+                    if emit_idx:
+                        # full-u32 idx plane rides the same one-hot
+                        # routing as four 8-bit limbs (each dot places
+                        # at most one nonzero term <= 255 per output
+                        # lane, so f32 accumulation stays exact);
+                        # recombined with multiplies, not shifts
+                        Ri = i_scr[...]
+                        Rh_i = jnp.where(headm, Ri, U32(0))
+                        Rt_i = jnp.where(headm, U32(0), Ri)
+
+                        def _limb8(x, b):
+                            return ((x >> U32(8 * b)) & U32(255)
+                                    ).astype(I32).astype(BF16)
+
+                        lim = []
+                        for b in range(4):
+                            db = (jax.lax.dot_general(
+                                      Ah, _limb8(Rh_i, b), dnA,
+                                      preferred_element_type=jnp.float32)
+                                  + jax.lax.dot_general(
+                                      At, _limb8(Rt_i, b), dnA,
+                                      preferred_element_type=jnp.float32))
+                            lim.append(db.astype(I32).astype(U32))
+                        acc_i = (lim[3] * U32(1 << 24)
+                                 + lim[2] * U32(1 << 16)
+                                 + lim[1] * U32(1 << 8) + lim[0])
                 else:
                     # idx plane: same routing, masked to the packed
                     # prefix (jw < rt) so untargeted lanes only ever
@@ -1154,9 +1191,11 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             pltpu.VMEM((C, C // 128), jnp.bfloat16),
             pltpu.VMEM((C // 128, C), jnp.bfloat16),
         ] if _rowplace_enabled(compact, C, l) else []) + ([
-            # rolled-row staging plane for the MXU paint variants
+            # rolled-row staging plane(s) for the MXU paint variants
+            # (a second one for the super-k-mer index plane)
             pltpu.VMEM((RB, C), jnp.uint32),
-        ] if _mxu_paint_enabled(mode, compact, C, l) else []) + [
+        ] * (2 if mode == MODE_SUPERKMERS else 1)
+          if _mxu_paint_enabled(mode, compact, C, l) else []) + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -342,7 +342,8 @@ def test_mxu_paint_limb_guard():
     np.testing.assert_array_equal(np.asarray(out[: int(count[0])]), want)
 
 
-@pytest.mark.parametrize("compact", ["flat", "rowplace", "rowsign"])
+@pytest.mark.parametrize(
+    "compact", ["flat", "rowplace", "rowsign", "rowmxu", "rowsignmxu"])
 def test_fused_superkmers_compact_variants(compact):
     """Super-k-mers now ride the row-local compaction (index plane moved
     in lockstep with the packed plane); the generic flat butterfly stays

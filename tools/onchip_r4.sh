@@ -50,11 +50,18 @@ run fasta_e2e python bench/exp_fasta.py
 # 5. device-values A/B with the honest (warm, median) host baselines
 run values_ab python bench/exp_values.py --n 400000000
 
-# 6. superkmers timing on the default path + skip-ambiguity overhead
-run time_sk_default python bench/exp_kernel.py --n 100000000 --c 8192 \
-    --input striped2r --mode superkmers
-run verify_sk_default python bench/exp_kernel.py --verify --n 3000000 \
-    --c 8192 --input striped2r --mode superkmers
+# 6. superkmers: MXU idx-plane paint (round-4 extension) vs rowplace,
+#    verified then A/B'd; plus skip-ambiguity overhead
+run verify_sk_rowmxu python bench/exp_kernel.py --verify --n 3000000 \
+    --c 8192 --input striped2r --mode superkmers --compact rowmxu
+run verify_sk_rowplace python bench/exp_kernel.py --verify --n 3000000 \
+    --c 8192 --input striped2r --mode superkmers --compact rowplace
+for rep in 1 2 3; do
+  run "time_sk_rowmxu_$rep" python bench/exp_kernel.py --n 100000000 \
+      --c 8192 --input striped2r --mode superkmers --compact rowmxu
+  run "time_sk_rowplace_$rep" python bench/exp_kernel.py --n 100000000 \
+      --c 8192 --input striped2r --mode superkmers --compact rowplace
+done
 run time_skipamb python bench/exp_kernel.py --n 100000000 --c 8192 \
     --input striped2r --skip-amb
 
