@@ -304,3 +304,28 @@ def test_backend_records_batch_routing_ambiguous(monkeypatch):
     got = backend.sketch_records(recs, k, w, h, ambiguous=ambs, dna=True)
     for codes, amb, g in zip(recs, ambs, got):
         np.testing.assert_array_equal(g, _want(codes, k, w, h, ambiguous=amb))
+
+
+@pytest.mark.parametrize("mode", ["minimizers", "superkmers"])
+def test_sketch_records_wave_budget_edges(mode, monkeypatch):
+    """_LaunchWave edge cases: a budget smaller than one launch footprint
+    (every add flushes the previous single-launch wave) must stay
+    bit-identical to the unbounded-budget schedule."""
+    from simd_minimizers_tpu.ops import fused
+
+    k, w = 7, 5
+    h = NtHasher(k, canonical=True)
+    rng = np.random.default_rng(0xA3E)
+    recs = [rng.integers(0, 4, n, dtype=np.uint8)
+            for n in (5000, 33000, 900, 12000)]
+    want = fused.sketch_records(recs, k, w, h, mode=mode, C=1024,
+                                span_chars=12000, interpret=True)
+    monkeypatch.setenv("SMTPU_RECORDS_WAVE_BYTES", "1")
+    got = fused.sketch_records(recs, k, w, h, mode=mode, C=1024,
+                               span_chars=12000, interpret=True)
+    for g, wnt in zip(got, want):
+        if mode == pipeline.MODE_SUPERKMERS:
+            np.testing.assert_array_equal(g[0], wnt[0])
+            np.testing.assert_array_equal(g[1], wnt[1])
+        else:
+            np.testing.assert_array_equal(g, wnt)
