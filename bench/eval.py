@@ -80,9 +80,21 @@ def main():
                       f"on-chip floor, {r['sync_roundtrip_us']:.0f} us "
                       f"sync round trip")
                 continue
+            if r.get("batched"):
+                continue  # rendered in the amortized table below
             print(f"  len {r['len']:>8}: {r['us_per_seq']:>9.1f} us/seq "
                   f"({r['ns_per_bp']:.2f} ns/bp)")
         print()
+        batched = [r for r in res["short"] if r.get("batched")]
+        if batched:
+            print("== short sequences AMORTIZED (run_batch, one launch; "
+                  "the reference's short table is itself amortized — "
+                  "ref NEON: 21.4 ns/bp @16bp ... 2.82 @8192) ==")
+            for r in batched:
+                print(f"  {r['reads']:>8} x {r['len']:>5}bp: "
+                      f"{r['ns_per_bp']:.4f} ns/bp "
+                      f"({r['reads_per_s']/1e6:.2f} M seqs/s)")
+            print()
 
     if "batch" in res:
         print("== batched short reads (one kernel launch, device-resident) ==")
@@ -116,6 +128,15 @@ def main():
                   f"device-resident)")
         if "wall_s" in h:
             print(f"  wall {h['wall_s']}s end-to-end (tunnel-bound)")
+        print()
+
+    if "fasta_e2e" in res:
+        f = res["fasta_e2e"]
+        print(f"FASTA end-to-end ({f['source']}, {f['records']} records, "
+              f"{f['bp']/1e9:.2f} Gbp): parse {f['parse_s']}s + warm "
+              f"sketch {f['sketch_s']}s = {f['value']} Gbp/s "
+              f"(cold first-sketch {f.get('sketch_cold_s', '?')}s incl. "
+              f"one-time Mosaic compile; density {f['density']})")
         print()
 
     if "plot" in res:
