@@ -65,7 +65,8 @@ RB = 8
 DEF_C = 8192
 
 
-ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu")
+ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu",
+                "rowmxu2")
 
 # Production compaction. Round-4 on-chip 3x A/B (canonical k21 w11, 1e8
 # bp, bench/onchip_r4_results.json time_* rows): rowmxu 0.1496-0.1546
@@ -113,7 +114,7 @@ def _mxu_paint_enabled(mode: str, compact: str, C: int, l: int) -> bool:
     # limb enc>>8 is only bf16-exact up to 256 — so require
     # enc_max >> 8 <= 256, i.e. 8C + l <= 65791 (l <= 255 at C=8192).
     return (_rowplace_enabled(compact, C, l)
-            and compact in ("rowmxu", "rowsignmxu")
+            and compact in ("rowmxu", "rowsignmxu", "rowmxu2")
             and 8 * C + l <= 65791)
 
 
@@ -410,7 +411,8 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                state, *rest):
         p_scr = i_scr = None
         if rowplace_k:
-            if _mxu_paint_enabled(mode, compact, C, l):
+            if (_mxu_paint_enabled(mode, compact, C, l)
+                    and compact != "rowmxu2"):
                 if mode == MODE_SUPERKMERS:
                     e_scr, e2_scr, p_scr, i_scr, sem_in, sem, sem2 = rest
                 else:
@@ -927,14 +929,30 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                              if emit_idx else None)
                     qv = ro >> logC                       # (RB, 1)
                     ccv = ro - (qv << logC)               # (RB, 1)
-                    for r in range(RB):
-                        cc = jnp.sum(ccv[r : r + 1, :1])  # scalar
-                        p_scr[r : r + 1, :] = pltpu.roll(
-                            enc[r : r + 1], cc, axis=1)
-                        if emit_idx:
-                            i_scr[r : r + 1, :] = pltpu.roll(
-                                enc_i[r : r + 1], cc, axis=1)
-                    R = p_scr[...]
+                    if compact == "rowmxu2":
+                        # fully vectorized staging: decompose each row's
+                        # lane rotation cc into log2(C) conditional
+                        # full-plane rolls by 2^b (no per-row scalar
+                        # extraction, no VMEM scratch round trip)
+                        R = enc
+                        Ri = enc_i if emit_idx else None
+                        for b in range(logC):
+                            bitm = ((ccv >> b) & 1) != 0  # (RB,1) bcast
+                            R = jnp.where(
+                                bitm, pltpu.roll(R, 1 << b, axis=1), R)
+                            if emit_idx:
+                                Ri = jnp.where(
+                                    bitm, pltpu.roll(Ri, 1 << b, axis=1),
+                                    Ri)
+                    else:
+                        for r in range(RB):
+                            cc = jnp.sum(ccv[r : r + 1, :1])  # scalar
+                            p_scr[r : r + 1, :] = pltpu.roll(
+                                enc[r : r + 1], cc, axis=1)
+                            if emit_idx:
+                                i_scr[r : r + 1, :] = pltpu.roll(
+                                    enc_i[r : r + 1], cc, axis=1)
+                        R = p_scr[...]
                     jR = jax.lax.broadcasted_iota(I32, (RB, C), 1)
                     headm = jR >= ccv
                     Rh = jnp.where(headm, R, U32(0))
@@ -987,7 +1005,8 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                         # at most one nonzero term <= 255 per output
                         # lane, so f32 accumulation stays exact);
                         # recombined with multiplies, not shifts
-                        Ri = i_scr[...]
+                        if compact != "rowmxu2":
+                            Ri = i_scr[...]
                         Rh_i = jnp.where(headm, Ri, U32(0))
                         Rt_i = jnp.where(headm, U32(0), Ri)
 
@@ -1192,10 +1211,12 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             pltpu.VMEM((C // 128, C), jnp.bfloat16),
         ] if _rowplace_enabled(compact, C, l) else []) + ([
             # rolled-row staging plane(s) for the MXU paint variants
-            # (a second one for the super-k-mer index plane)
+            # (a second one for the super-k-mer index plane); the
+            # rowmxu2 log-stage staging stays in registers and needs none
             pltpu.VMEM((RB, C), jnp.uint32),
         ] * (2 if mode == MODE_SUPERKMERS else 1)
-          if _mxu_paint_enabled(mode, compact, C, l) else []) + [
+          if _mxu_paint_enabled(mode, compact, C, l)
+          and compact != "rowmxu2" else []) + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
