@@ -1,5 +1,5 @@
 """Capture a jax.profiler trace of the production kernel and distill a
-committable per-op attribution (bench/trace_r3.json).
+committable per-op attribution (bench/trace_r4.json).
 
 The stage-level attribution comes from bench/exp_kernel.py ablations
 (one process per ablate point); this adds the XProf view: per-op device
@@ -8,7 +8,7 @@ it (infeed/outfeed, dispatch gaps), so the "VPU-bound" claim is
 trace-backed rather than inferred.
 
 Usage (real TPU): python bench/trace_kernel.py [--n 100000000]
-Writes bench/trace_r3.json and prints the top ops to stderr.
+Writes bench/trace_r4.json and prints the top ops to stderr.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--n", type=int, default=10**8)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "trace_r3.json"))
+        os.path.dirname(os.path.abspath(__file__)), "trace_r4.json"))
     args = ap.parse_args()
 
     import jax
