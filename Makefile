@@ -5,7 +5,7 @@
 # full on-chip validation + A/B runbook (real TPU; ~2h): hardware fuzz,
 # headline, kernel-variant timings, records/values A/Bs, ablation ladder
 onchip:
-	bash tools/onchip_r3.sh && python tools/collect_onchip.py
+	bash tools/onchip_r4.sh && python tools/collect_onchip.py
 
 # randomized differential fuzz (CPU, interpret mode vs oracle)
 fuzz:
