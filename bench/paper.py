@@ -702,21 +702,29 @@ def bench_human_genome(quick=False):
             s = e
         return time.perf_counter() - t0, tot
 
-    w_ov = min(run_overlapped()[0] for _ in range(2))
-    w_se = min(run_serial()[0] for _ in range(2))
+    # INTERLEAVED pairs (serial, overlapped): tunnel bandwidth swings
+    # ~4x minute-to-minute, so adjacent pairs share weather and the
+    # per-pair ratio is the meaningful statistic (same discipline as
+    # bench/exp_records.py)
+    pairs = [(run_serial()[0], run_overlapped()[0]) for _ in range(3)]
+    w_se = min(s for s, _ in pairs)
+    w_ov = min(o for _, o in pairs)
+    ratios = sorted(s / o for s, o in pairs)
     res.update({
         "host_streamed_n": n_h,
         "host_streamed_overlapped_s": round(w_ov, 3),
         "host_streamed_serial_s": round(w_se, 3),
-        "overlap_speedup": round(w_se / w_ov, 3),
+        "overlap_speedup": round(ratios[len(ratios) // 2], 3),
+        "overlap_pair_speedups": [round(r, 3) for r in ratios],
         "host_streamed_note": (
-            "end-to-end host codes -> positions; spans double-buffered "
-            "(pack+transfer of span i+1 enqueued before span i syncs); "
-            "tunnel transfer dominates in this environment"),
+            "end-to-end host codes -> positions; spans wave-scheduled "
+            "(launches enqueued asynchronously, one stacked count fetch "
+            "per wave); tunnel transfer dominates in this environment; "
+            "speedup is the median of interleaved pair ratios"),
     })
     print(f"[human_genome] host-streamed {n_h/1e9:.2f} Gbp: overlapped "
-          f"{w_ov:.2f}s vs serial {w_se:.2f}s ({w_se/w_ov:.2f}x)",
-          file=sys.stderr)
+          f"{w_ov:.2f}s vs serial {w_se:.2f}s (pair medians "
+          f"{ratios[len(ratios)//2]:.2f}x)", file=sys.stderr)
     del codes_h
 
     # ---- real genome end-to-end when available ----
