@@ -688,18 +688,25 @@ def bench_human_genome(quick=False):
         return time.perf_counter() - t0, pos.size
 
     def run_serial():
-        # identical spans/program, but harvest each span before launching
-        # the next (the pre-overlap behavior)
+        # identical spans/program, harvest each span before launching the
+        # next, AND the same final seam-merge concat (sketch_long pays
+        # it; a baseline without it would compare schedules to an
+        # apples-to-oranges phase set)
+        from simd_minimizers_tpu.parallel.multihost import (
+            merge_adjacent_shards)
+
         t0 = time.perf_counter()
-        tot, s = 0, 0
+        parts, starts, s = [], [], 0
         nw_h = n_h - l + 1
         Gs = long_span_grid(n_h, l, span)  # same program sketch_long runs
         while s < nw_h:
+            starts.append(s)
             e = min(s + span - (l - 1), nw_h)
             hnd = _fused_launch(codes_h[s : min(e - 1 + l, n_h)], k, w, h,
                                 offset=s, G=Gs, dna=True)
-            tot += _fused_harvest(hnd, "minimizers").size
+            parts.append(_fused_harvest(hnd, "minimizers"))
             s = e
+        tot = merge_adjacent_shards(parts, starts, codes_h, k, w, h).size
         return time.perf_counter() - t0, tot
 
     # INTERLEAVED pairs (serial, overlapped): tunnel bandwidth swings

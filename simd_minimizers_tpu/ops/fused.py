@@ -1455,6 +1455,7 @@ def sketch_long(
     span_chars: int = 1 << 29,
     interpret: bool = False,
     dna: bool | None = None,
+    wave_budget: int = 0,
 ):
     """Stream a sequence of up to 2^32 chars through span-sized fused calls.
 
@@ -1464,10 +1465,16 @@ def sketch_long(
     parallel/multihost.py applied to one device). Mirrors the reference's
     "split inputs over 4 GB chars" guidance (src/sliding_min.rs:96-99).
 
-    Host packing and host->device transfer are OVERLAPPED with device
-    compute by the wave launch schedule (_LaunchWave): spans are enqueued
-    asynchronously up to a device-memory budget, then each wave harvests
-    with one stacked count fetch + one streaming data fetch per span.
+    Schedule: EAGER waves by default (wave_budget=0: harvest the
+    previous span BEFORE packing/launching the next), so transfers stay
+    strictly serialized on high-latency links; raise wave_budget to
+    enqueue spans asynchronously like sketch_records does. Measured
+    round 4 (bench/onchip_r4_results.json wave_diag/wave_diag2): the
+    eager schedule matches a hand-written serial launch/harvest loop
+    (5.7 vs 5.1-5.6 s over 200 Mbp in 3 spans, tunnel weather +-30%);
+    sketch_long's remaining overhead vs that loop is the host seam-merge
+    concatenation of the final positions array (~2.5 s for 133 MB on
+    this ~100 MB/s-memory host; microseconds-per-MB on a normal one).
     """
     l = k + w - 1
     n = int(codes_np.shape[0])
@@ -1494,6 +1501,7 @@ def sketch_long(
             spans.append(res)
 
     wave = _LaunchWave(mode, sink)
+    wave.budget = wave_budget  # 0 = eager (harvest before the next launch)
     fp = _LaunchWave.launch_footprint(Gs, C, mode)
     s = 0
     while s < nw:
@@ -1501,6 +1509,13 @@ def sketch_long(
         e = min(s + span_chars - (l - 1), nw)
         chars_end = min(e - 1 + l, n)
         amb = ambiguous_np[s:chars_end] if ambiguous_np is not None else None
+        # flush BEFORE packing/enqueuing the next span: launching first
+        # would stream span i+1's upload concurrently with span i's
+        # result fetch, the interleaved-transfer pathology measured at
+        # 0.25-0.95x serial in rounds 3-4
+        if wave.wave and (wave.bytes + fp > wave.budget
+                          or len(wave.wave) >= 128):
+            wave.flush()
         wave.add(s, _fused_launch(codes_np[s:chars_end], k, w, hasher,
                                   mode=mode, ambiguous_np=amb, C=C, offset=s,
                                   interpret=interpret, G=Gs, dna=dna), fp)
