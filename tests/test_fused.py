@@ -414,3 +414,19 @@ def test_fused_halo_bound_and_large_w_fallback(monkeypatch):
     np.testing.assert_array_equal(got2, _want(codes2, k2, w2, h2))
     got3 = backend.sketch_records([codes2], k2, w2, h2, dna=True)[0]
     np.testing.assert_array_equal(got3, got2)
+
+
+def test_fused_mxu_paint_fallback_large_l():
+    """For l > 255 the MXU paint's 2-limb exactness bound (8C + l <=
+    65791) trips and the rowmxu default must degrade to the masked-add
+    rowplace paint while staying bit-exact (gate: _mxu_paint_enabled)."""
+    from simd_minimizers_tpu.ops import fused as F
+
+    assert F._mxu_paint_enabled("minimizers", "rowmxu", 8192, 255)
+    assert not F._mxu_paint_enabled("minimizers", "rowmxu", 8192, 256)
+    assert F._rowplace_enabled("rowmxu", 8192, 256)
+    rng = np.random.default_rng(0x260)
+    codes = rng.integers(0, 4, 60000, dtype=np.uint8)
+    h = NtHasher(150)  # k=150, w=111 -> l=260
+    got = F.fused_sketch(codes, 150, 111, h, interpret=True)
+    np.testing.assert_array_equal(got, _want(codes, 150, 111, h))
