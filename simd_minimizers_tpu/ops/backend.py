@@ -123,8 +123,10 @@ def sketch_records(
     When the list holds MANY SMALL records (>= RECORDS_BATCH_MIN_COUNT
     records of <= SMTPU_RECORDS_BATCH_MAX_BP chars), those go through the
     batch engine instead — one launch per stride bucket for the whole
-    set, which removes even the per-record fetch (measured 29M reads/s at
-    150 bp vs ~16 reads/s for per-record dispatch through a tunnel).
+    set, which removes even the per-record fetch (round-4 measured: 6.5x
+    the per-record wave at 200 x 0.1 Mbp, and 35M reads/s at 150 bp
+    through the batch engine — bench/onchip_r4_results.json
+    records_batchroute / the results.json batch rows).
     Elsewhere it is a plain per-record loop. Bit-identical to calling
     sketch() on each record.
     """
