@@ -126,3 +126,21 @@ def test_synth_fasta_width_multiple(tmp_path):
         assert len(recs) == 3, (n_bp, len(recs))
         assert all(len(r) == n_bp for r in recs)
         assert [r.name for r in recs] == ["synth0", "synth1", "synth2"]
+
+
+def test_fasta_edge_cases(tmp_path):
+    """Empty file, header-only record, missing trailing newline, blank
+    line inside a record — the C++ scanner and the CLI path must parse
+    all of them (behavior pinned round 4)."""
+    cases = [
+        (b"", []),
+        (b">only header\n", [("only", 0)]),
+        (b">a\nACGT", [("a", 4)]),
+        (b">a\n\n>b\nAC\n", [("a", 0), ("b", 2)]),
+        (b"ACGT\nAC\n", [("seq0", 6)]),  # headerless implicit record
+    ]
+    for i, (content, want) in enumerate(cases):
+        p = tmp_path / f"e{i}.fa"
+        p.write_bytes(content)
+        recs = read_fasta(str(p))
+        assert [(r.name, len(r)) for r in recs] == want, (content, recs)
