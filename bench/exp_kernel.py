@@ -36,7 +36,7 @@ def main():
                     choices=["striped2", "striped2r"])
     ap.add_argument("--compact", default=None,  # None = fused.DEF_COMPACT
                     choices=["flat", "rowplace", "rowplace4", "rowsign",
-                             "rowmxu", "rowsignmxu", "rowmxu2"])
+                             "rowmxu", "rowsignmxu", "rowmxu2", "rowmxu3"])
     ap.add_argument("--mode", default="minimizers",
                     choices=["minimizers", "superkmers", "closed_syncmers",
                              "open_syncmers"])

@@ -66,7 +66,7 @@ DEF_C = 8192
 
 
 ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu",
-                "rowmxu2")
+                "rowmxu2", "rowmxu3")
 
 # Production compaction. Round-4 on-chip 3x A/B (canonical k21 w11, 1e8
 # bp, bench/onchip_r4_results.json time_* rows): rowmxu 0.1496-0.1546
@@ -114,7 +114,7 @@ def _mxu_paint_enabled(mode: str, compact: str, C: int, l: int) -> bool:
     # limb enc>>8 is only bf16-exact up to 256 — so require
     # enc_max >> 8 <= 256, i.e. 8C + l <= 65791 (l <= 255 at C=8192).
     return (_rowplace_enabled(compact, C, l)
-            and compact in ("rowmxu", "rowsignmxu", "rowmxu2")
+            and compact in ("rowmxu", "rowsignmxu", "rowmxu2", "rowmxu3")
             and 8 * C + l <= 65791)
 
 
@@ -912,6 +912,31 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 riP = jax.lax.broadcasted_iota(I32, (RB + 1, C), 0)
                 jP1 = jax.lax.broadcasted_iota(I32, (1, C), 1)
                 logC = C.bit_length() - 1
+
+                def overlay_finish(acc, acc_i):
+                    # Shared by every paint variant: overlay the carried
+                    # tail as the (decoded) head of row 0, decode the +1
+                    # encoding, and hand off to the aligned append.
+                    trow = tailbuf[:].reshape(1, TAIL)
+                    if C > TAIL:
+                        trow = jnp.concatenate(
+                            [trow, jnp.full((1, C - TAIL), INVALID, U32)],
+                            axis=1)
+                    data = jnp.where(acc == U32(0), INVALID,
+                                     acc - U32(1) + base_off)
+                    jPfull = jax.lax.broadcasted_iota(I32, (RB + 1, C), 1)
+                    tailmask = (riP == 0) & (jPfull < rem)
+                    packed = [jnp.where(tailmask, trow, data)]
+                    if emit_idx:
+                        trow2 = tailbuf2[:].reshape(1, TAIL)
+                        if C > TAIL:
+                            trow2 = jnp.concatenate(
+                                [trow2,
+                                 jnp.full((1, C - TAIL), INVALID, U32)],
+                                axis=1)
+                        packed.append(jnp.where(tailmask, trow2, acc_i))
+                    finish(packed, total_new)
+
                 if mxu_paint:
                     # Per-row dynamic rolls land in VMEM scratch at
                     # STATIC row indices (dynamic-index VMEM stores don't
@@ -957,9 +982,84 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     headm = jR >= ccv
                     Rh = jnp.where(headm, R, U32(0))
                     Rt = jnp.where(headm, U32(0), R)
+                    BF16 = jnp.bfloat16
+                    if compact == "rowmxu3":
+                        # Stacked single-dot paint: head/tail AND hi/lo
+                        # limbs ride the CONTRACTION axis of one
+                        # (RB+1, 4RB) x (4RB, C) dot — the MXU pads the
+                        # contraction to a full tile either way, so
+                        # stacking is free and replaces rowmxu's four
+                        # dots + per-plane limb extraction with one dot.
+                        # R4 rows: [Rh_hi<<8; Rt_hi<<8; Rh_lo; Rt_lo] —
+                        # the hi limb is pre-scaled ON THE INPUT side
+                        # (hi*256 = enc & ~255 <= 65536 keeps <= 8
+                        # significand bits, bf16-exact), so each output
+                        # lane accumulates its element's hi and lo terms
+                        # in f32 (sum <= 8C + l < 2^24, exact) and the
+                        # (9, C) f32 recombine disappears. A4 column k
+                        # routes source row k % RB, head/tail by
+                        # (k // RB) & 1; built with i32 arithmetic only
+                        # (i1 vectors on sub-tile shapes don't lower).
+                        R2 = jnp.concatenate([Rh, Rt], axis=0)
+                        hi2 = (R2 & U32(0xFFFFFF00)).astype(I32)
+                        lo2 = (R2 & U32(255)).astype(I32)
+                        R4 = jnp.concatenate(
+                            [hi2, lo2], axis=0).astype(BF16)
+                        K4 = 4 * RB
+                        riA4 = jax.lax.broadcasted_iota(
+                            I32, (RB + 1, K4), 0)
+                        jA4 = jax.lax.broadcasted_iota(
+                            I32, (RB + 1, K4), 1)
+                        cmod = jA4 % RB
+                        half = (jA4 // RB) & 1
+                        A4I = jnp.zeros((RB + 1, K4), I32)
+                        for r in range(RB):
+                            q = jnp.sum(qv[r : r + 1, :1])  # scalar
+                            A4I = A4I + (
+                                (1 - jnp.minimum(jnp.abs(cmod - r), 1))
+                                * (1 - jnp.minimum(
+                                    jnp.abs(riA4 - (q + half)), 1)))
+                        A4 = A4I.astype(BF16)
+                        dnA = (((1,), (0,)), ((), ()))
+                        acc = jax.lax.dot_general(
+                            A4, R4, dnA,
+                            preferred_element_type=jnp.float32
+                        ).astype(I32).astype(U32)
+                        if emit_idx:
+                            # full-u32 idx plane: the same A4 routes its
+                            # four 8-bit limbs as TWO stacked dots (limb
+                            # pairs 1|0 and 3|2, odd limbs pre-scaled by
+                            # 256 — per-lane pair sum <= 65535 < 2^24,
+                            # f32-exact); recombined with a u32 multiply
+                            # (vector left-shifts >= 16 miscompile).
+                            Ri = i_scr[...]
+                            R2i = jnp.concatenate(
+                                [jnp.where(headm, Ri, U32(0)),
+                                 jnp.where(headm, U32(0), Ri)], axis=0)
+
+                            def _l8s(b):
+                                return ((R2i >> U32(8 * b))
+                                        & U32(255)).astype(I32)
+
+                            R4a = jnp.concatenate(
+                                [_l8s(1) * 256, _l8s(0)],
+                                axis=0).astype(BF16)
+                            R4b = jnp.concatenate(
+                                [_l8s(3) * 256, _l8s(2)],
+                                axis=0).astype(BF16)
+                            dlo = jax.lax.dot_general(
+                                A4, R4a, dnA,
+                                preferred_element_type=jnp.float32
+                            ).astype(I32).astype(U32)
+                            dhi = jax.lax.dot_general(
+                                A4, R4b, dnA,
+                                preferred_element_type=jnp.float32
+                            ).astype(I32).astype(U32)
+                            acc_i = dhi * U32(1 << 16) + dlo
+                        overlay_finish(acc, acc_i if emit_idx else None)
+                        return
                     riA = jax.lax.broadcasted_iota(I32, (RB + 1, RB), 0)
                     jA = jax.lax.broadcasted_iota(I32, (RB + 1, RB), 1)
-                    BF16 = jnp.bfloat16
                     # One-hot routing matrices built with i32 arithmetic
                     # ONLY: boolean (i1) vectors on the sub-tile (9, 8)
                     # shape hit "Invalid relayout vector<9x8xi1>" in
@@ -1046,23 +1146,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                             rolled_i = pltpu.roll(
                                 enc_i[r : r + 1], cc, axis=1)
                             acc_i = acc_i + jnp.where(hit, rolled_i, U32(0))
-                trow = tailbuf[:].reshape(1, TAIL)
-                if C > TAIL:
-                    trow = jnp.concatenate(
-                        [trow, jnp.full((1, C - TAIL), INVALID, U32)], axis=1)
-                data = jnp.where(acc == U32(0), INVALID,
-                                 acc - U32(1) + base_off)
-                jPfull = jax.lax.broadcasted_iota(I32, (RB + 1, C), 1)
-                tailmask = (riP == 0) & (jPfull < rem)
-                packed = [jnp.where(tailmask, trow, data)]
-                if emit_idx:
-                    trow2 = tailbuf2[:].reshape(1, TAIL)
-                    if C > TAIL:
-                        trow2 = jnp.concatenate(
-                            [trow2, jnp.full((1, C - TAIL), INVALID, U32)],
-                            axis=1)
-                    packed.append(jnp.where(tailmask, trow2, acc_i))
-                finish(packed, total_new)
+                overlay_finish(acc, acc_i if emit_idx else None)
                 return
 
             # ---- flat compact: prepend carried tail as row 0, global rank,
