@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--compact", default=None,  # None = fused.DEF_COMPACT
                     choices=["flat", "rowplace", "rowplace4", "rowsign",
                              "rowmxu", "rowsignmxu", "rowmxu2", "rowmxu3"])
+    ap.add_argument("--hashimpl", default=None, choices=["var", "rel"],
+                    help="hash-fold implementation (None = fused.HASH_IMPL); "
+                         "module-level like --rb, one variant per process")
     ap.add_argument("--mode", default="minimizers",
                     choices=["minimizers", "superkmers", "closed_syncmers",
                              "open_syncmers"])
@@ -71,6 +74,8 @@ def main():
     assert args.rb == 8 or args.input != "striped2r", \
         "the native row-striped packer hardcodes 8 rows/block"
     F.RB = args.rb  # before any trace
+    if args.hashimpl:
+        F.HASH_IMPL = args.hashimpl
     k, w, n, C = args.k, args.w, args.n, args.c
     l = k + w - 1
     BC = F.RB * C
@@ -152,6 +157,7 @@ def main():
                       "mode": args.mode,
                       "ablate": args.ablate,
                       "compact": args.compact or F.DEF_COMPACT,
+                      "hashimpl": F.HASH_IMPL,
                       "k": k, "w": w, "canonical": not args.fwd,
                       "skip_amb": args.skip_amb,
                       "ns_per_bp": round(ns, 4),

@@ -68,15 +68,17 @@ DEF_C = 8192
 ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu",
                 "rowmxu2", "rowmxu3")
 
-# Production compaction. Round-4 on-chip 3x A/B (canonical k21 w11, 1e8
-# bp, bench/onchip_r4_results.json time_* rows): rowmxu 0.1496-0.1546
-# ns/bp vs rowplace 0.1703-0.1724, rowsign 0.1713-0.1752, rowsignmxu
-# 0.1516-0.1533 — the MXU one-hot paint beats the dynamic-roll masked-add
-# paint by ~12%, outside the +-0.002 noise band. Where the MXU paint
-# doesn't apply (super-k-mers' full-u32 index plane, l > 255 limb bound;
-# _mxu_paint_enabled) the kernel automatically degrades to the rowplace
-# paint, so one default serves every mode.
-DEF_COMPACT = "rowmxu"
+# Production compaction. Round-5 on-chip 3x A/B (canonical k21 w11, 1e8
+# bp, bench/onchip_r5_results.json time_* rows): rowmxu3 (stacked
+# single-dot MXU paint — head/tail and hi/lo limbs ride the contraction
+# axis) 0.1397-0.1456 ns/bp vs rowmxu 0.1497-0.1526 on minimizers, and
+# 0.1930-0.1945 vs 0.2128-0.2165 on super-k-mers — every interleaved
+# pair, ~6%/~10% outside the noise band (round-4 ladder: rowmxu beat
+# rowplace 0.1496-0.1546 vs 0.1703-0.1724). Where the MXU paint doesn't
+# apply (l > 255 limb bound; _mxu_paint_enabled) the kernel
+# automatically degrades to the rowplace paint, so one default serves
+# every mode.
+DEF_COMPACT = "rowmxu3"
 
 
 def fused_supported(k: int, w: int, C: int | None = None) -> bool:
@@ -295,8 +297,82 @@ def _pack_fold(cs, J, msb):
     return acc
 
 
+# Hash-fold implementation, module-level like RB so each experiment
+# process picks one at trace time (bench/exp_kernel.py --hashimpl).
+# "rel" folds with RELATIVE rotations: h[i] = rotl(xor_j rotl(vals[i+j],
+# j), rot) — the per-element rotation cancels inside the window, so
+# every rotation in the doubling fold is STATIC per stage (multiply|shr,
+# no variable shifts, no iota/mod chains, no where-guards) and the final
+# constant rotations fold into the table SCALARS. Bit-identical to the
+# direct "var" form (tests/test_hash_impl.py).
+HASH_IMPL = "var"
+
+
+def _rot_static(v, r):
+    """rotl32 by a static amount (scalar or vector; multiply, never a
+    vector left-shift — Mosaic miscompiles vector shl >= 16 on offset
+    layouts)."""
+    r %= 32
+    if r == 0:
+        return v
+    return (v * U32(1 << r)) | (v >> U32(32 - r))
+
+
+def _win_fold_rotxor(x, width, sign):
+    """xor over sliding windows with relative rotations:
+    out[:, i] = xor_{j<width} rotl32(x[:, i+j], sign*j).
+
+    Doubling: F_{2d}[i] = F_d[i] ^ rotl(F_d[i+d], sign*d); exact-width
+    combine like _win_fold. Every rotation is static."""
+
+    def rot(v, r):
+        return _rot_static(v, (sign * r) % 32)
+
+    out_len = x.shape[1] - width + 1
+    acc = None
+    done = 0
+    part = x
+    d = 1
+    while True:
+        if width & d:
+            seg = rot(part[:, done : done + out_len], done)
+            acc = seg if acc is None else acc ^ seg
+            done += d
+        if d * 2 > width:
+            break
+        L = part.shape[1] - d
+        part = part[:, :L] ^ rot(part[:, d : d + L], d)
+        d *= 2
+    return acc
+
+
 def _hash_windows(M_u32, hasher_kind, canonical, rot_offset, k, tab, mul_const, nk_cols):
     """uint32 kmer hashes for nk_cols kmers from the (RB, SP) u32 code block."""
+    if HASH_IMPL == "rel" and hasher_kind in ("nt", "mul"):
+        rf = rot_offset % 32
+        rr = (k - 1 + rot_offset) % 32
+        if hasher_kind == "nt":
+            c = (M_u32 & U32(3)).astype(I32)
+            b0 = (c & 1) != 0
+            b1 = (c & 2) != 0
+            tf = [_rot_static(tab[i], rf) for i in range(4)]
+            vals = jnp.where(b1, jnp.where(b0, tf[3], tf[2]),
+                             jnp.where(b0, tf[1], tf[0]))
+            h = _win_fold_rotxor(vals, k, +1)
+            if canonical:
+                # the complement code is c ^ 2: entry i serves code i ^ 2
+                tr = [_rot_static(tab[i ^ 2], rr) for i in range(4)]
+                cvals = jnp.where(b1, jnp.where(b0, tr[3], tr[2]),
+                                  jnp.where(b0, tr[1], tr[0]))
+                h = h ^ _win_fold_rotxor(cvals, k, -1)
+        else:
+            vals = _rot_static((M_u32 + U32(1)) * mul_const, rf)
+            h = _win_fold_rotxor(vals, k, +1)
+            if canonical:
+                cvals = _rot_static(((M_u32 ^ U32(2)) + U32(1)) * mul_const,
+                                    rr)
+                h = h ^ _win_fold_rotxor(cvals, k, -1)
+        return h[:, :nk_cols]
     SP = M_u32.shape[1]
     p = jax.lax.broadcasted_iota(I32, (RB, SP), 1).astype(U32)  # column index
     if hasher_kind == "antilex":
