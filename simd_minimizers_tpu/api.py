@@ -50,16 +50,20 @@ class Output:
         # 2 bits/char for DNA, 8 for general ASCII text (GenericSeq)
         return getattr(self.seq, "char_bits", 2)
 
-    # above this many positions, 2-bit values are assembled on the TPU
+    # above this many positions, 2-bit values are ELIGIBLE for TPU assembly
     # (ops/device_values.py) instead of the host gather — bit-identical.
-    # Measured (round 4, bench/exp_values.py): device 26 ns/value compute
-    # vs host-native C++ 44 ns/value and host-NumPy ~640; the device route
-    # additionally pays ~8 B/value download + one codes upload, so it wins
-    # on a PCIe host at large m but LOSES through a slow link — override
-    # with SMTPU_DEVICE_VALUES_MIN (huge value = always host) when the
-    # device transport is the bottleneck.
+    # Measured (round 4, bench/exp_values.py, onchip_r4 values_ab): device
+    # 26.2 ns/value compute vs host-native C++ 31.7; the device route
+    # additionally pays ~8 B/value download, so the final routing is
+    # transport-aware: device_values.device_route_wins() probes the link
+    # once per process and only routes to device when compute + download
+    # beats the host number (it does on a PCIe host, it does NOT through
+    # the ~15 MB/s axon tunnel). Setting SMTPU_DEVICE_VALUES_MIN skips the
+    # probe and forces the pure-threshold rule (huge value = always host,
+    # small value = device whenever eligible).
     DEVICE_VALUES_MIN = int(os.environ.get("SMTPU_DEVICE_VALUES_MIN",
                                            1 << 22))
+    _FORCED = "SMTPU_DEVICE_VALUES_MIN" in os.environ
 
     def _use_device_values(self, max_length: int) -> bool:
         if (self._bits != 2 or self.length > max_length
@@ -74,7 +78,13 @@ class Output:
             return False
         from .ops import backend
 
-        return backend._use_fused()
+        if not backend._use_fused():
+            return False
+        if Output._FORCED:
+            return True
+        from .ops import device_values
+
+        return device_values.device_route_wins()
 
     def _device_words(self):
         """u32 word stream for device values — zero-copy off PackedSeq's

@@ -22,6 +22,54 @@ import functools
 import numpy as np
 
 
+# Measured ns/value (committed: bench/onchip_r4_results.json values_ab row,
+# api.py Output docstring): device compute 26.2, host-native C++ 31.7. The
+# device route additionally downloads ~8 B/value, so whether it wins is a
+# pure transport question — decided by one cached bandwidth probe.
+_DEVICE_NS_PER_VALUE = 26.2
+_HOST_NS_PER_VALUE = 31.7
+_DOWNLOAD_BYTES_PER_VALUE = 8.0
+
+
+@functools.lru_cache(maxsize=1)
+def measured_link_bytes_per_s() -> float:
+    """Device->host link bandwidth, one two-size probe (cached per process).
+
+    Two sizes subtract the fixed per-dispatch latency (~30 ms on the axon
+    tunnel): bw = (B2-B1)/(t2-t1). A noisy/fast link yields dt ~ 0 ->
+    inf (device route wins there anyway). Fresh arrays each fetch so
+    jax.Array host-value caching can't short-circuit the transfer.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    def fetch(nbytes: int, salt: int) -> float:
+        x = (jnp.arange(nbytes // 4, dtype=jnp.uint32) + jnp.uint32(salt))
+        int(x[0])  # scalar fetch: proves execution finished (CLAUDE.md)
+        t0 = time.perf_counter()
+        np.asarray(x)
+        return time.perf_counter() - t0
+
+    fetch(1 << 16, 0)  # warm the dispatch/compile path
+    t1 = fetch(1 << 16, 1)
+    t2 = fetch(1 << 20, 2)
+    dt = t2 - t1
+    if dt <= 1e-4:
+        return float("inf")
+    return ((1 << 20) - (1 << 16)) / dt
+
+
+def device_route_wins() -> bool:
+    """Transport-aware values crossover: device compute + ~8 B/value
+    download vs the host-native gather (reference analog:
+    /root/reference/src/lib.rs:598-612 runs host-side always)."""
+    link = measured_link_bytes_per_s()
+    link_ns = (0.0 if link == float("inf")
+               else _DOWNLOAD_BYTES_PER_VALUE * 1e9 / link)
+    return _DEVICE_NS_PER_VALUE + link_ns < _HOST_NS_PER_VALUE
+
+
 def words_from_packed_bytes(packed: np.ndarray,
                             pad_words: int = 4) -> np.ndarray:
     """u32 word stream from 2-bit-packed bytes (base i at bits 2*(i%4)).
