@@ -586,6 +586,46 @@ def _fasta_e2e(quick=False):
     return bench_fasta_e2e(quick)
 
 
+# ---------------------------------------------------------------------------
+# Procedural device-resident genome: char i = proc_h2c(i) everywhere, so a
+# sequence of any length is defined without a buffer and every
+# representation (host codes, device row-striped words) is derived from
+# the same formula. Pinned against the native wire format by
+# tests/test_fused.py::test_procedural_genome_matches_native_pack.
+# ---------------------------------------------------------------------------
+
+
+def proc_h2c(x):
+    """u32 multiply-xorshift avalanche -> 2-bit char; wraps mod 2^32 in
+    both jnp and NumPy uint32 array arithmetic (bit-identical)."""
+    u = (np.uint32 if isinstance(x, np.ndarray) else jnp.uint32)
+    x = x * u(0x9E3779B1)
+    x = x ^ (x >> u(15))
+    x = x * u(0x85EBCA77)
+    x = x ^ (x >> u(13))
+    return x & u(3)
+
+
+def proc_codes(a: int, b: int) -> np.ndarray:
+    """Host codes for global char span [a, b)."""
+    return proc_h2c(np.arange(a, b, dtype=np.uint32)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("g", "C", "SPW", "SPW_PAD"))
+def proc_gen_striped(s, *, g, C, SPW, SPW_PAD):
+    """The (g*RB, SPW_PAD) row-striped fused-kernel input for the call
+    whose window span starts at global char s — built on device by
+    formula. Row i covers global chars [s + i*C, +SP); word (i, m) packs
+    the row's char t*SPW + m at bits 2t (native/packseq.cpp:105-110)."""
+    i = jnp.arange(g * F.RB, dtype=jnp.uint32)[:, None]
+    m = jnp.arange(SPW_PAD, dtype=jnp.uint32)[None, :]
+    base = s + i * jnp.uint32(C) + m
+    acc = jnp.zeros((g * F.RB, SPW_PAD), jnp.uint32)
+    for t in range(16):
+        acc = acc | (proc_h2c(base + jnp.uint32(t * SPW)) << jnp.uint32(2 * t))
+    return jnp.where(m < SPW, acc, jnp.uint32(0))
+
+
 def bench_human_genome(quick=False):
     """CHM13-scale run: canonical k=21 w=11 over ~3.1 Gbp.
 
@@ -607,31 +647,82 @@ def bench_human_genome(quick=False):
     l = k + w - 1
     res = {}
 
-    # ---- measured device-resident synthetic run ----
+    # ---- measured device-resident synthetic run (seam-exact) ----
+    # The genome is PROCEDURAL: char i = _h2c(i), a 2-round u32 avalanche
+    # evaluated identically on device (striped input built by formula —
+    # elementwise, XLA-fused, zero host traffic, zero flat buffer) and on
+    # host (seam windows). Multi-call results are therefore over ONE
+    # well-defined 3.1 Gbp sequence with globally consistent halos, and
+    # the timed region includes the cross-call seam merge (one O(l) host
+    # re-evaluation per seam, multihost.merge_adjacent_shards semantics),
+    # so `count` is the bit-exact single-call answer — proven below by a
+    # real split-vs-single-call comparison of full position lists.
+    from simd_minimizers_tpu.ops import oracle
+
     n = 3_100_000_000 if not quick else 200_000_000
     C = F.DEF_C
     BC = F.RB * C
     nw_tot = n - l + 1
     ncalls = -(-nw_tot // ((1 << 31) - (1 << 24)))
-    nw_call = -(-nw_tot // ncalls)
-    G = -(-nw_call // BC)
+    q = -(-nw_tot // ncalls)
+    nw_call = -(-q // BC) * BC  # BC multiple: every call's rows C-aligned
+    G = nw_call // BC
     PADH = F.padh_for(l)
     _, SPW, SPW_PAD = F.rowstriped_geometry(C, PADH)
     key_h, table, mulc = hasher_jit_args(h)
-    words = jax.random.bits(jax.random.key(0), (G * F.RB, SPW_PAD),
-                            dtype=jnp.uint32)
     amb = jnp.zeros(F.TAIL, jnp.uint32)
     tab = jnp.asarray(table)
     mc = jnp.asarray([mulc], np.uint32)
-    out_cap = (int(0.35 * G * BC) // F.TAIL + 1) * F.TAIL  # 2x density margin
 
-    def call(nw_loc, off):
+    def host_codes(a: int, b: int) -> np.ndarray:
+        return proc_codes(a, b)
+
+    def gen_striped(s, *, g):
+        return proc_gen_striped(s, g=g, C=C, SPW=SPW, SPW_PAD=SPW_PAD)
+
+    def call(words, nw_loc, off, g, cap):
         off_bits = int(np.asarray([np.uint32(off)], np.uint32).view(np.int32)[0])
         return F._fused_call(
             words, amb, jnp.asarray([nw_loc, off_bits], np.int32), tab, mc,
             k=k, w=w, mode="minimizers", skip_ambiguous=False,
-            hasher_key=key_h, C=C, G=G, input_mode="striped2r",
-            out_cap=out_cap)
+            hasher_key=key_h, C=C, G=g, input_mode="striped2r",
+            out_cap=cap)
+
+    def cap_for(g):
+        return (int(0.35 * g * BC) // F.TAIL + 1) * F.TAIL  # 2x density margin
+
+    def seam_sels(sw: int) -> tuple[int, int]:
+        """sel of global windows sw-1 and sw (host, O(l))."""
+        codes = host_codes(sw - 1, sw + l)
+        sel = oracle.selected_stream(codes, k, w, h)
+        return int(sel[0]) + sw - 1, int(sel[1]) + sw - 1
+
+    def run_spans(spans, g):
+        """Launch every span; ONE stacked summary fetch; seam-merged count.
+
+        Returns (count, per-call counts, seam drops, device handles) —
+        handles let the validation run download full outputs; the timed
+        runs drop them.
+        """
+        cap = cap_for(g)
+        handles = []
+        for nw_loc, s in spans:
+            words = gen_striped(jnp.uint32(s), g=g)
+            handles.append(call(words, nw_loc, s, g, cap))
+        summary = jnp.concatenate(
+            [hd[2][:1].astype(jnp.uint32) for hd in handles]
+            + [hd[0][:1] for hd in handles[1:]])
+        sm = np.asarray(summary)  # the one host sync
+        counts = sm[: len(spans)].astype(np.int64)
+        firsts = sm[len(spans):]
+        tot = int(counts.sum())
+        drops = []
+        for j in range(1, len(spans)):
+            s0, s1 = seam_sels(spans[j][1])
+            drop = int(firsts[j - 1]) == s1 and s1 == s0
+            drops.append(drop)
+            tot -= int(drop)
+        return tot, counts, drops, handles
 
     spans = []
     s = 0
@@ -642,12 +733,7 @@ def bench_human_genome(quick=False):
 
     def run_once():
         t0 = time.perf_counter()
-        cs = []
-        for sp in spans:
-            out, idx, c = call(*sp)
-            cs.append(c)
-            del out, idx
-        tot = sum(int(c[0]) for c in cs)  # host sync
+        tot = run_spans(spans, G)[0]
         return time.perf_counter() - t0, tot
 
     run_once()  # compile + warm
@@ -658,15 +744,43 @@ def bench_human_genome(quick=False):
         "density": round(density, 5),
         "device_s_measured": round(best, 3),
         "gbp_per_s_device": round(n / best / 1e9, 3),
-        "note": ("device-resident: inputs generated on device (TPU PRNG "
-                 "striped words), outputs stay on device, count fetched; "
-                 "includes per-call dispatch over the tunnel; counts are "
-                 "per-call sums (no cross-call seam merge, <= 1 dup/seam)"),
+        "note": ("device-resident procedural genome (char i = h2c(i); "
+                 "striped input built on device by formula): outputs stay "
+                 "on device, one stacked count+seam fetch; the timed "
+                 "region includes the restripe, per-call dispatch over "
+                 "the tunnel, and the cross-call seam merge -> count is "
+                 "the bit-exact single-call answer (seam_validated)"),
     })
     print(f"[human_genome] device-resident {n/1e9:.2f} Gbp: {best:.3f}s "
           f"measured ({n/best/1e9:.2f} Gbp/s), density {density:.5f}",
           file=sys.stderr)
-    del words
+
+    # ---- split-vs-single bit-exactness proof (same machinery) ----
+    # 3 calls of G=128 vs one G=512 call over the same 25.2M-window
+    # procedural span: the seam-merged split position list must equal
+    # the single-call list element-for-element.
+    Gv, Gs = 128, 512
+    nw_v = 3 * Gv * BC
+    spans_v = [(Gv * BC, j * Gv * BC) for j in range(3)]
+    _, counts_v, drops_v, handles_v = run_spans(spans_v, Gv)
+    parts = []
+    for j, hd in enumerate(handles_v):
+        part = np.asarray(hd[0][: int(counts_v[j])])  # device-slice first
+        parts.append(part[1:] if j > 0 and drops_v[j - 1] else part)
+    merged = np.concatenate(parts)
+    del handles_v
+    out1, _, c1 = call(gen_striped(jnp.uint32(0), g=Gs), nw_v, 0, Gs,
+                       cap_for(Gs))
+    cnt1 = int(np.asarray(c1[:1])[0])
+    single = np.asarray(out1[:cnt1])
+    del out1
+    seam_ok = bool(np.array_equal(merged, single))
+    res["seam_validated"] = seam_ok
+    res["seam_validation_nw"] = nw_v
+    print(f"[human_genome] seam validation (3x{Gv} vs 1x{Gs} blocks, "
+          f"{nw_v/1e6:.1f}M windows): "
+          f"{'EXACT' if seam_ok else 'MISMATCH'}", file=sys.stderr)
+    assert seam_ok, "split-vs-single seam merge mismatch"
 
     # ---- host-streamed end-to-end: pack + transfer OVERLAPPED with
     # device compute (sketch_long double-buffers spans) vs fully serial.
