@@ -36,7 +36,8 @@ def main():
                     choices=["striped2", "striped2r"])
     ap.add_argument("--compact", default=None,  # None = fused.DEF_COMPACT
                     choices=["flat", "rowplace", "rowplace4", "rowsign",
-                             "rowmxu", "rowsignmxu", "rowmxu2", "rowmxu3"])
+                             "rowmxu", "rowsignmxu", "rowmxu2", "rowmxu3",
+                             "rowf32"])
     ap.add_argument("--hashimpl", default=None, choices=["var", "rel"],
                     help="hash-fold implementation (None = fused.HASH_IMPL); "
                          "module-level like --rb, one variant per process")
@@ -44,9 +45,22 @@ def main():
                     choices=["minimizers", "superkmers", "closed_syncmers",
                              "open_syncmers"])
     ap.add_argument("--skip-amb", action="store_true",
-                    help="run in skip-ambiguous mode (1%% random N mask) to "
-                         "measure the ambiguity-plane overhead the batch "
-                         "path pays")
+                    help="run in skip-ambiguous mode (random N mask, see "
+                         "--amb-frac) to measure the ambiguity-plane "
+                         "overhead the batch path pays")
+    ap.add_argument("--amb-frac", type=float, default=0.01,
+                    help="fraction of ambiguous chars for --skip-amb. 0 "
+                         "measures the feature-on/data-clean case (every "
+                         "block takes the gated skip branch); uniform "
+                         "fractions >~1e-4 make every 64Kbp block "
+                         "ambiguous, the worst case for the per-block "
+                         "gate. Clustered Ns (--amb-cluster) model the "
+                         "real-genome shape: one contiguous N run, most "
+                         "blocks clean.")
+    ap.add_argument("--amb-cluster", action="store_true",
+                    help="place the --amb-frac mass as ONE contiguous run "
+                         "in the middle of the input instead of uniform "
+                         "random positions")
     ap.add_argument("--verify", action="store_true",
                     help="check bit-exactness vs the NumPy oracle on the "
                          "first run (use a small --n; the oracle is host-side)")
@@ -101,7 +115,11 @@ def main():
         # with the kernel's SKIPPED-drop for the index plane
         assert args.mode != "superkmers", "--skip-amb x superkmers is unsupported"
         amb = np.zeros(need, np.uint8)
-        amb[:n] = rng.random(n) < 0.01
+        if args.amb_cluster:
+            run = int(n * args.amb_frac)
+            amb[n // 2 : n // 2 + run] = 1
+        else:
+            amb[:n] = rng.random(n) < args.amb_frac
         amb_words = jnp.asarray(F.pack_rowstriped(amb, G, C, PADH))
     else:
         amb_words = jnp.zeros(F.TAIL, jnp.uint32)

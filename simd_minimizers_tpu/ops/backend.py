@@ -36,6 +36,24 @@ def _use_fused() -> bool:
         return False
 
 
+def _fused_geometry_ok(fused, k, w, codes_np, dna):
+    """(supported, dna): whether the fused kernel covers (k, w) for this
+    input. The wider row-striped halo bound (fused.ROWSTRIPED_MAX_HALO)
+    only applies to 2-bit DNA inputs, so when it is the bound that admits
+    the call and the caller didn't classify the input, probe once here
+    and thread the answer down (avoids a second probe in _fused_launch).
+    """
+    if fused.fused_supported(k, w):
+        return True, dna
+    if fused.fused_supported(k, w, dna=True):
+        if dna is None:
+            from ..utils.bits import probe_is_dna
+
+            dna = bool(probe_is_dna(codes_np))
+        return dna, dna
+    return False, dna
+
+
 def _bucket_G(G: int) -> int:
     """Round the grid size up to a power of two to bound recompiles.
 
@@ -74,8 +92,12 @@ def sketch(
 
         # geometry outside the fused kernel's bounds (huge halo or
         # packed-min columns, fused.fused_supported) falls through to the
-        # XLA pipeline below — it runs on TPU too: slower, never wrong
-        if fused.fused_supported(k, w):
+        # XLA pipeline below — it runs on TPU too: slower, never wrong.
+        # Row-striped DNA admits halos up to ROWSTRIPED_MAX_HALO (the
+        # reference's full w < 2^15 range at fused speed); the O(n) DNA
+        # probe only runs when the wider bound is what admits the input.
+        ok, dna = _fused_geometry_ok(fused, k, w, codes_np, dna)
+        if ok:
             if n >= (1 << 30):
                 return fused.sketch_long(
                     codes_np, k, w, hasher, mode=mode,
@@ -141,7 +163,12 @@ def sketch_records(
         )
     from . import fused
 
-    if _use_fused() and fused.fused_supported(k, w):
+    # the wider row-striped halo bound needs an explicit dna=True here
+    # (records are a list — no single cheap probe); dna=None large-w
+    # inputs fall to the per-record sketch() loop, which probes each
+    if _use_fused() and (fused.fused_supported(k, w)
+                         or (dna is True
+                             and fused.fused_supported(k, w, dna=True))):
         import os
 
         amb = (list(ambiguous) if ambiguous is not None

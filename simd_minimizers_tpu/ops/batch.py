@@ -146,7 +146,7 @@ def sketch_batch(
         from . import fused as _fused
 
         use_fused = (dna and _backend._use_fused()
-                     and _fused.fused_supported(k, w, C))
+                     and _fused.fused_supported(k, w, C, dna=True))
     else:
         use_fused = backend == "fused"
         if use_fused:

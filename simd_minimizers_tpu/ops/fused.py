@@ -66,7 +66,7 @@ DEF_C = 8192
 
 
 ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu",
-                "rowmxu2", "rowmxu3")
+                "rowmxu2", "rowmxu3", "rowf32")
 
 # Production compaction. Round-5 on-chip 3x A/B (canonical k21 w11, 1e8
 # bp, bench/onchip_r5_results.json time_* rows): rowmxu3 (stacked
@@ -81,19 +81,31 @@ ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu",
 DEF_COMPACT = "rowmxu3"
 
 
-def fused_supported(k: int, w: int, C: int | None = None) -> bool:
+# Halo cap for the row-striped (2-bit DNA) wire format. Unlike the flat
+# striped formats — whose per-block slab shares the single TAIL-aligned
+# pad, capping l - 1 at TAIL — the row-striped input is a 2-D
+# (rows, SPW_PAD) array DMA'd 8 whole rows per block, so the per-row
+# halo only costs VMEM slab width. 33024 = 258 * 128 covers the
+# reference's full w < 2^15 supported range
+# (/root/reference/src/sliding_min.rs:93-95) with k up to 258.
+ROWSTRIPED_MAX_HALO = 33024
+
+
+def fused_supported(k: int, w: int, C: int | None = None,
+                    dna: bool = False) -> bool:
     """Whether the fused kernel's geometry covers (k, w) at this C.
 
-    Two hard bounds: the per-row halo must fit the TAIL-aligned input pad
-    (l - 1 <= TAIL, the PADH <= TAIL DMA constraint), and every in-row
-    kmer column must fit the packed sliding-min's 16 position bits
-    (C + w - 1 <= 2^16). Callers outside these bounds (e.g. w in the
-    reference-supported range up to 2^15 with a large k) fall back to the
+    Two hard bounds: the per-row halo must fit the input pad (l - 1 <=
+    TAIL for the flat striped formats; <= ROWSTRIPED_MAX_HALO for
+    row-striped DNA, which `dna=True` selects), and every in-row kmer
+    column must fit the packed sliding-min's 16 position bits
+    (C + w - 1 <= 2^16). Callers outside these bounds fall back to the
     XLA pipeline, which runs on TPU too — slower, never wrong.
     """
     l = k + w - 1
     C = C or DEF_C
-    return l - 1 <= TAIL and C + w - 1 <= (1 << 16)
+    halo_cap = ROWSTRIPED_MAX_HALO if dna else TAIL
+    return l - 1 <= halo_cap and C + w - 1 <= (1 << 16)
 
 
 def _rowplace_enabled(compact: str, C: int, l: int) -> bool:
@@ -115,6 +127,13 @@ def _mxu_paint_enabled(mode: str, compact: str, C: int, l: int) -> bool:
     # 8C + l (rowbase 7C + row-relative < C+l, +1 encoding), and the hi
     # limb enc>>8 is only bf16-exact up to 256 — so require
     # enc_max >> 8 <= 256, i.e. 8C + l <= 65791 (l <= 255 at C=8192).
+    if compact == "rowf32":
+        # f32 one-hot dots (run at precision=HIGHEST: bf16x3 passes are
+        # exact for integer values with one-hot routing) represent every
+        # painted integer up to 2^24 directly — no limb split, and no
+        # l <= 255 degradation: enc_max = 8C + l + 1 just has to fit.
+        return (_rowplace_enabled(compact, C, l)
+                and 8 * C + l + 1 < (1 << 24))
     return (_rowplace_enabled(compact, C, l)
             and compact in ("rowmxu", "rowsignmxu", "rowmxu2", "rowmxu3")
             and 8 * C + l <= 65791)
@@ -304,8 +323,15 @@ def _pack_fold(cs, J, msb):
 # every rotation in the doubling fold is STATIC per stage (multiply|shr,
 # no variable shifts, no iota/mod chains, no where-guards) and the final
 # constant rotations fold into the table SCALARS. Bit-identical to the
-# direct "var" form (tests/test_hash_impl.py).
-HASH_IMPL = "var"
+# direct "var" form (tests/test_hash_impl.py); round-5 silicon: verified
+# bit-exact on hardware and wins every clean interleaved A/B pair 3/3
+# (0.1359/0.1399/0.1378 vs var 0.1400/0.1442/0.1431 ns/bp canonical
+# k21 w11, bench/onchip_r5b_results.json time_hash_* rows) -> default.
+# CAVEAT: read at TRACE time. Changing it after the first jit trace in a
+# process silently keeps the previously-traced implementation (the jit
+# cache key does not include it) — set it before any fused call, one
+# variant per process.
+HASH_IMPL = "rel"
 
 
 def _rot_static(v, r):
@@ -455,7 +481,9 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     SLAB, SLABW, SLABW_PAD = striped_geometry(C)  # chars staged per block
     _, SLABW8, SLABW8_PAD = striped8_geometry(C)
     _, SPW, SPW_PAD = rowstriped_geometry(C, PADH)
-    assert PADH <= TAIL
+    # flat striped formats share the one TAIL-aligned slab pad; the 2-D
+    # row-striped format carries the halo per row (see ROWSTRIPED_MAX_HALO)
+    assert PADH <= (ROWSTRIPED_MAX_HALO if in_mode == "striped2r" else TAIL)
     assert in_mode in ("striped2", "striped2r", "striped8", "i32")
     # the packed sliding-min rides (hash_top16 | column) in one u32, so
     # every in-row kmer column must fit 16 bits. The analog of the
@@ -481,23 +509,31 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     assert ablate != "bfly" or rowplace_k, \
         "--ablate bfly requires a row-local compact variant"
 
-    def kernel(nw_ref, tab_ref, mul_ref, codes_hbm, amb_hbm,
+    # MXU element dtype for the one-hot rank/paint matmuls: rowf32 runs
+    # f32 dots at precision=HIGHEST (exact to 2^24, no limb splits); the
+    # bf16 variants stay exact via <= 8-bit limbs.
+    MXF = jnp.float32 if compact == "rowf32" else jnp.bfloat16
+    HIGHEST = jax.lax.Precision.HIGHEST
+
+    def kernel(nw_ref, tab_ref, mul_ref, ambany_ref, codes_hbm, amb_hbm,
                out_hbm, idx_hbm, count_ref,
-               slab0, slab1, amb_slab, outbuf, idxbuf, tailbuf, tailbuf2,
-               state, *rest):
-        p_scr = i_scr = None
+               slab0, slab1, amb_slab0, amb_slab1, outbuf, idxbuf, tailbuf,
+               tailbuf2, state, *rest):
+        # conditional scratch unpack — mirror _invoke_pallas's
+        # scratch_shapes order exactly
+        rest = list(rest)
+        e_scr = e2_scr = p_scr = i_scr = skipm_scr = None
         if rowplace_k:
+            e_scr = rest.pop(0)
+            e2_scr = rest.pop(0)
             if (_mxu_paint_enabled(mode, compact, C, l)
                     and compact != "rowmxu2"):
+                p_scr = rest.pop(0)
                 if mode == MODE_SUPERKMERS:
-                    e_scr, e2_scr, p_scr, i_scr, sem_in, sem, sem2 = rest
-                else:
-                    e_scr, e2_scr, p_scr, sem_in, sem, sem2 = rest
-            else:
-                e_scr, e2_scr, sem_in, sem, sem2 = rest
-        else:
-            e_scr = e2_scr = None
-            sem_in, sem, sem2 = rest
+                    i_scr = rest.pop(0)
+        if skip_ambiguous:
+            skipm_scr = rest.pop(0)
+        sem_in, sem, sem2 = rest
         g = pl.program_id(0)
 
         @pl.when(g == 0)
@@ -511,10 +547,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 # ~1M-element (C, NCH) planes per block measurably costs)
                 jE = jax.lax.broadcasted_iota(I32, (C, NCH_K), 0) // 128
                 mE = jax.lax.broadcasted_iota(I32, (C, NCH_K), 1)
-                e_scr[...] = (jE == mE).astype(jnp.bfloat16)
+                e_scr[...] = (jE == mE).astype(MXF)
                 jE2 = jax.lax.broadcasted_iota(I32, (NCH_K, C), 1) // 128
                 mE2 = jax.lax.broadcasted_iota(I32, (NCH_K, C), 0)
-                e2_scr[...] = (jE2 == mE2).astype(jnp.bfloat16)
+                e2_scr[...] = (jE2 == mE2).astype(MXF)
 
         # Active-block gating: grids are power-of-two bucketed to bound
         # Mosaic recompiles, so G may over-provision. Active blocks form a
@@ -555,6 +591,21 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 src = codes_hbm.at[pl.ds(blk * BC, SLAB)]
             return pltpu.make_async_copy(src, slot_ref, sem_in.at[slot])
 
+        def amb_copy(blk, slot_ref, slot):
+            # same double-buffered schedule as in_copy, on the ambiguity
+            # plane (identical wire format); its starts/waits are
+            # additionally gated on the prefetched per-block any-ambiguity
+            # scalar so clean blocks pay nothing
+            if in_mode == "striped2":
+                src = amb_hbm.at[pl.ds(blk * SLABW_PAD, SLABW_PAD)]
+            elif in_mode == "striped2r":
+                src = amb_hbm.at[pl.ds(blk * RB, RB), :]
+            elif in_mode == "striped8":
+                src = amb_hbm.at[pl.ds(blk * SLABW8_PAD, SLABW8_PAD)]
+            else:
+                src = amb_hbm.at[pl.ds(blk * BC, SLAB)]
+            return pltpu.make_async_copy(src, slot_ref, sem2.at[slot])
+
         # Gate on `active` too: a zero-window launch (nw_total <= 0 happens
         # for over-provisioned shards in fused_sharded_sketch) never runs
         # body(), so an unconditional start here would leave the DMA
@@ -574,6 +625,23 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
         def _():
             in_copy(g + 1, slab0, 0).start()
 
+        if skip_ambiguous:
+            # ambany_ref is (G + 1,) with a trailing 0 so the g + 1 probe
+            # below stays in bounds on the last block
+            @pl.when((g == 0) & active & (ambany_ref[0] != 0))
+            def _():
+                amb_copy(0, amb_slab0, 0).start()
+
+            next_amb = next_active & (ambany_ref[g + 1] != 0)
+
+            @pl.when(next_amb & even)
+            def _():
+                amb_copy(g + 1, amb_slab1, 1).start()
+
+            @pl.when(next_amb & (~even))
+            def _():
+                amb_copy(g + 1, amb_slab0, 0).start()
+
         # The first dead block absorbs the last active block's pending
         # pipelined output-append wait(s); later dead blocks have nothing
         # pending (wait descriptors only need the semaphore + size).
@@ -590,20 +658,18 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             # The append tail lives in the persistent tailbuf/tailbuf2 VMEM
             # scratch (extracted from each block's packed output in finish).
             if skip_ambiguous:
-                if in_mode == "striped2":
-                    ap = pltpu.make_async_copy(
-                        amb_hbm.at[pl.ds(g * SLABW_PAD, SLABW_PAD)], amb_slab, sem2)
-                elif in_mode == "striped2r":
-                    ap = pltpu.make_async_copy(
-                        amb_hbm.at[pl.ds(g * RB, RB), :], amb_slab, sem2)
-                elif in_mode == "striped8":
-                    ap = pltpu.make_async_copy(
-                        amb_hbm.at[pl.ds(g * SLABW8_PAD, SLABW8_PAD)], amb_slab, sem2)
-                else:
-                    ap = pltpu.make_async_copy(
-                        amb_hbm.at[pl.ds(g * BC, SLAB)], amb_slab, sem2)
-                ap.start()
-                ap.wait()
+                # the amb slab was prefetched by the previous block (or the
+                # g == 0 preamble) iff this block has any ambiguity; clean
+                # blocks have nothing in flight and skip decode+fold too
+                amb_present = ambany_ref[g] != 0
+
+                @pl.when(amb_present & even)
+                def _():
+                    amb_copy(g, amb_slab0, 0).wait()
+
+                @pl.when(amb_present & (~even))
+                def _():
+                    amb_copy(g, amb_slab1, 1).wait()
 
             @pl.when(even)
             def _():
@@ -689,7 +755,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 _ablate_out(lpos)
                 return
             if canonical:
-                elemR = hv | (U32(0xFFFF) - ju)
+                # hv's low 16 bits are zero and ju <= 0xFFFF, so
+                # hv | (0xFFFF - ju) == elemL ^ 0xFFFF — one op, no
+                # second iota chain
+                elemR = elemL ^ U32(0xFFFF)
                 rcol = U32(0xFFFF) - (_win_min1(elemR, w)[:, :C] & U32(0xFFFF))
                 rpos = rowbase + rcol
                 tg = ((M >> U32(1)) & U32(1)).astype(I32)
@@ -702,9 +771,23 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 return
 
             if skip_ambiguous:
-                A = (lane_matrix_from(amb_slab[...]) & U32(1)).astype(I32)
-                acnt = _win_fold(A, l, jnp.add, None)[:, :C]
-                sel = jnp.where(acnt > 0, SKIPPED, sel)
+                # per-block gate: only blocks whose slab (halo included —
+                # each packed row spans C + PADH chars) contains ambiguity
+                # pay the decode + windowed-count fold; the rest write a
+                # zero mask. Both branches fill skipm_scr (pl.when regions
+                # cannot return values).
+                @pl.when(amb_present)
+                def _():
+                    aslab = jnp.where(even, amb_slab0[...], amb_slab1[...])
+                    A = (lane_matrix_from(aslab) & U32(1)).astype(I32)
+                    acnt = _win_fold(A, l, jnp.add, None)[:, :C]
+                    skipm_scr[...] = jnp.minimum(acnt, 1)
+
+                @pl.when(~amb_present)
+                def _():
+                    skipm_scr[...] = jnp.zeros((RB, C), I32)
+
+                sel = jnp.where(skipm_scr[...] != 0, SKIPPED, sel)
 
             # ---- validity + seam-aware keep mask ----
             jw = jax.lax.broadcasted_iota(I32, (RB, C), 1)
@@ -846,26 +929,46 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 E2 = e2_scr[...]                       # (NCH, C)
                 aT = jax.lax.broadcasted_iota(I32, (NCH, NCH), 0)
                 bT = jax.lax.broadcasted_iota(I32, (NCH, NCH), 1)
-                T = (aT < bT).astype(BF16)             # strict: exclusive scan
+                T = (aT < bT).astype(MXF)              # strict: exclusive scan
                 dn = (((1,), (0,)), ((), ()))
-                ch = jax.lax.dot_general(
-                    keep.astype(BF16), E, dn,
-                    preferred_element_type=jnp.float32)      # (RB, NCH)
-                ch_off = jax.lax.dot_general(
-                    ch.astype(BF16), T, dn,
-                    preferred_element_type=jnp.float32)      # exclusive
-                cho_i = ch_off.astype(I32)                   # <= BC, exact
-                # 8-bit limbs: bf16 represents integers exactly only up
-                # to 256, and cho_i <= C can need up to 14 bits
-                hi = (cho_i >> 8).astype(BF16)               # <= 128
-                lo = (cho_i & 255).astype(BF16)              # <= 255
-                expand = (
-                    jax.lax.dot_general(hi, E2, dn,
-                                        preferred_element_type=jnp.float32)
-                    * jnp.float32(256)
-                    + jax.lax.dot_general(lo, E2, dn,
-                                          preferred_element_type=jnp.float32)
-                ).astype(I32)                                # (RB, C)
+                if compact == "rowf32":
+                    # f32 dots at HIGHEST precision are exact to 2^24:
+                    # chunk offsets (<= C) feed the expand dot directly —
+                    # no 8-bit limb split, one expand dot instead of two
+                    ch = jax.lax.dot_general(
+                        keep.astype(MXF), E, dn,
+                        preferred_element_type=jnp.float32,
+                        precision=HIGHEST)                   # (RB, NCH)
+                    ch_off = jax.lax.dot_general(
+                        ch, T, dn,
+                        preferred_element_type=jnp.float32,
+                        precision=HIGHEST)                   # exclusive
+                    cho_i = ch_off.astype(I32)               # <= BC, exact
+                    expand = jax.lax.dot_general(
+                        ch_off, E2, dn,
+                        preferred_element_type=jnp.float32,
+                        precision=HIGHEST).astype(I32)       # (RB, C)
+                else:
+                    ch = jax.lax.dot_general(
+                        keep.astype(BF16), E, dn,
+                        preferred_element_type=jnp.float32)  # (RB, NCH)
+                    ch_off = jax.lax.dot_general(
+                        ch.astype(BF16), T, dn,
+                        preferred_element_type=jnp.float32)  # exclusive
+                    cho_i = ch_off.astype(I32)               # <= BC, exact
+                    # 8-bit limbs: bf16 represents integers exactly only
+                    # up to 256, and cho_i <= C can need up to 14 bits
+                    hi = (cho_i >> 8).astype(BF16)           # <= 128
+                    lo = (cho_i & 255).astype(BF16)          # <= 255
+                    expand = (
+                        jax.lax.dot_general(
+                            hi, E2, dn,
+                            preferred_element_type=jnp.float32)
+                        * jnp.float32(256)
+                        + jax.lax.dot_general(
+                            lo, E2, dn,
+                            preferred_element_type=jnp.float32)
+                    ).astype(I32)                            # (RB, C)
                 rank_row = xint + expand                     # inclusive in-row
                 if ablate == "rank":
                     _ablate_out(rank_row)
@@ -1059,6 +1162,68 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                     Rh = jnp.where(headm, R, U32(0))
                     Rt = jnp.where(headm, U32(0), R)
                     BF16 = jnp.bfloat16
+                    if compact == "rowf32":
+                        # f32 single-dot paint: enc <= 8C + l + 1 < 2^24
+                        # is exactly representable in f32, so the
+                        # head/tail planes ride ONE (RB+1, 2RB) x (2RB, C)
+                        # dot with no limb split at all (rowmxu3 needs
+                        # hi/lo 8-bit limbs to stay exact in bf16 — twice
+                        # the stacked rows plus extraction and pre-scale).
+                        # precision=HIGHEST keeps the f32 product passes
+                        # exact; each output lane still receives exactly
+                        # one nonzero routed term. A2 is built with i32
+                        # arithmetic only (i1 vectors on sub-tile shapes
+                        # don't lower).
+                        R2 = jnp.concatenate([Rh, Rt], axis=0)
+                        R2f = R2.astype(I32).astype(jnp.float32)
+                        K2 = 2 * RB
+                        riA2 = jax.lax.broadcasted_iota(
+                            I32, (RB + 1, K2), 0)
+                        jA2 = jax.lax.broadcasted_iota(
+                            I32, (RB + 1, K2), 1)
+                        cmod2 = jA2 % RB
+                        half2 = jA2 // RB          # 0 = head, 1 = tail
+                        A2I = jnp.zeros((RB + 1, K2), I32)
+                        for r in range(RB):
+                            q = jnp.sum(qv[r : r + 1, :1])  # scalar
+                            A2I = A2I + (
+                                (1 - jnp.minimum(jnp.abs(cmod2 - r), 1))
+                                * (1 - jnp.minimum(
+                                    jnp.abs(riA2 - (q + half2)), 1)))
+                        A2 = A2I.astype(jnp.float32)
+                        dnA = (((1,), (0,)), ((), ()))
+                        acc = jax.lax.dot_general(
+                            A2, R2f, dnA,
+                            preferred_element_type=jnp.float32,
+                            precision=HIGHEST
+                        ).astype(I32).astype(U32)
+                        if emit_idx:
+                            # full-u32 idx plane: two 16-bit limbs (each
+                            # <= 65535 < 2^24, f32-exact) through the
+                            # same A2 — two dots on (2RB, C) planes
+                            # instead of rowmxu3's two dots on (4RB, C)
+                            # 8-bit limb stacks; recombined with a u32
+                            # multiply (vector left-shifts >= 16
+                            # miscompile)
+                            Ri = i_scr[...]
+                            R2i = jnp.concatenate(
+                                [jnp.where(headm, Ri, U32(0)),
+                                 jnp.where(headm, U32(0), Ri)], axis=0)
+                            lo16 = (R2i & U32(0xFFFF)).astype(I32).astype(
+                                jnp.float32)
+                            hi16 = (R2i >> U32(16)).astype(I32).astype(
+                                jnp.float32)
+                            dlo = jax.lax.dot_general(
+                                A2, lo16, dnA,
+                                preferred_element_type=jnp.float32,
+                                precision=HIGHEST).astype(I32).astype(U32)
+                            dhi = jax.lax.dot_general(
+                                A2, hi16, dnA,
+                                preferred_element_type=jnp.float32,
+                                precision=HIGHEST).astype(I32).astype(U32)
+                            acc_i = dhi * U32(1 << 16) + dlo
+                        overlay_finish(acc, acc_i if emit_idx else None)
+                        return
                     if compact == "rowmxu3":
                         # Stacked single-dot paint: head/tail AND hi/lo
                         # limbs ride the CONTRACTION axis of one
@@ -1339,13 +1504,41 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             return pltpu.VMEM((striped8_geometry(C)[2],), jnp.uint32)
         return pltpu.VMEM((SLAB,), jnp.int32)
 
+    # Per-block any-ambiguity flags, prefetched to SMEM so the kernel can
+    # gate the ambiguity plane's DMA + decode + fold per block (clean
+    # blocks — the common real-genome shape, where Ns cluster — skip all
+    # of it). Block slabs INCLUDE the halo in every wire format (the
+    # row-striped rows span C + PADH chars; the flat slabs carry the TAIL
+    # pad), so a halo-only N still flags its block. Sized G + 1 with a
+    # trailing 0: the kernel probes g + 1 for the prefetch schedule.
+    if skip_ambiguous:
+        if input_mode == "striped2r":
+            blocks = ambiguous[: G * RB].reshape(G, -1)
+        elif input_mode == "striped2":
+            Wp = striped_geometry(C)[2]
+            blocks = ambiguous[: G * Wp].reshape(G, Wp)
+        elif input_mode == "striped8":
+            Wp = striped8_geometry(C)[2]
+            blocks = ambiguous[: G * Wp].reshape(G, Wp)
+        else:
+            blocks = None  # i32 slabs overlap; decode every block
+        if blocks is None:
+            amb_any = jnp.ones((G + 1,), jnp.int32)
+        else:
+            amb_any = jnp.concatenate([
+                jnp.any(blocks != 0, axis=1).astype(jnp.int32),
+                jnp.zeros((1,), jnp.int32),
+            ])
+    else:
+        amb_any = jnp.zeros((2,), jnp.int32)
+    MXE = jnp.float32 if compact == "rowf32" else jnp.bfloat16
     out_shapes = (
         jax.ShapeDtypeStruct((cap,), jnp.uint32),
         jax.ShapeDtypeStruct((cap if emit_idx else TAIL,), jnp.uint32),
         jax.ShapeDtypeStruct((1,), jnp.int32),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # nw, table, mul_const
+        num_scalar_prefetch=4,  # nw, table, mul_const, amb_any
         grid=(G,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # codes (G+1, BC)
@@ -1359,7 +1552,12 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
         scratch_shapes=[
             _slab_scratch(input_mode, C, SLAB),
             _slab_scratch(input_mode, C, SLAB),
-            _slab_scratch(input_mode, C, SLAB),
+            # double-buffered ambiguity slabs (tiny dummies when the mode
+            # doesn't read them)
+            (_slab_scratch(input_mode, C, SLAB) if skip_ambiguous
+             else pltpu.VMEM((8,), jnp.uint32)),
+            (_slab_scratch(input_mode, C, SLAB) if skip_ambiguous
+             else pltpu.VMEM((8,), jnp.uint32)),
             pltpu.VMEM((BCP,), jnp.uint32),
             pltpu.VMEM((BCP,), jnp.uint32),
             pltpu.VMEM((TAIL,), jnp.uint32),
@@ -1367,8 +1565,8 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             pltpu.SMEM((2,), jnp.int32),
         ] + ([
             # grid-invariant one-hot rank matrices, filled once at g==0
-            pltpu.VMEM((C, C // 128), jnp.bfloat16),
-            pltpu.VMEM((C // 128, C), jnp.bfloat16),
+            pltpu.VMEM((C, C // 128), MXE),
+            pltpu.VMEM((C // 128, C), MXE),
         ] if _rowplace_enabled(compact, C, l) else []) + ([
             # rolled-row staging plane(s) for the MXU paint variants
             # (a second one for the super-k-mer index plane); the
@@ -1376,10 +1574,13 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             pltpu.VMEM((RB, C), jnp.uint32),
         ] * (2 if mode == MODE_SUPERKMERS else 1)
           if _mxu_paint_enabled(mode, compact, C, l)
-          and compact != "rowmxu2" else []) + [
+          and compact != "rowmxu2" else []) + ([
+            # per-block skip mask filled by both gate branches
+            pltpu.VMEM((RB, C), jnp.int32),
+        ] if skip_ambiguous else []) + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out, idx, count = pl.pallas_call(
@@ -1390,7 +1591,7 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(nw, table, mul_const, codes, ambiguous)
+    )(nw, table, mul_const, amb_any, codes, ambiguous)
     return out, idx, count
 
 
@@ -1436,6 +1637,7 @@ def _fused_launch(
     G: int | None = None,
     offset: int = 0,
     dna: bool | None = None,
+    compact: str | None = None,
 ):
     """Pack + transfer + enqueue one fused call WITHOUT synchronizing.
 
@@ -1494,6 +1696,7 @@ def _fused_launch(
         jnp.asarray(table), jnp.asarray([mul_const], np.uint32),
         k=k, w=w, mode=mode, skip_ambiguous=skip_ambiguous, hasher_key=key,
         C=C, G=G, interpret=interpret, input_mode=input_mode,
+        compact=compact,
     )
 
 
@@ -1527,6 +1730,7 @@ def fused_sketch(
     G: int | None = None,
     offset: int = 0,
     dna: bool | None = None,
+    compact: str | None = None,
 ):
     """Whole-sequence sketch through the fused kernel (host convenience).
 
@@ -1541,7 +1745,7 @@ def fused_sketch(
     return _fused_harvest(
         _fused_launch(codes_np, k, w, hasher, mode=mode,
                       ambiguous_np=ambiguous_np, C=C, interpret=interpret,
-                      G=G, offset=offset, dna=dna),
+                      G=G, offset=offset, dna=dna, compact=compact),
         mode,
     )
 

@@ -262,7 +262,7 @@ def test_fused_extreme_k_w_edges():
 
 @pytest.mark.parametrize(
     "compact", ["rowplace4", "rowsign", "rowmxu", "rowsignmxu", "rowmxu2",
-                "rowmxu3"])
+                "rowmxu3", "rowf32"])
 def test_fused_compact_variants(compact):
     """Experimental row-local compaction variants (bench/exp_kernel.py
     --compact ...) stay bit-exact vs the default "rowplace": sign-bit
@@ -346,7 +346,7 @@ def test_mxu_paint_limb_guard():
 
 @pytest.mark.parametrize(
     "compact", ["flat", "rowplace", "rowsign", "rowmxu", "rowsignmxu",
-                "rowmxu2", "rowmxu3"])
+                "rowmxu2", "rowmxu3", "rowf32"])
 def test_fused_superkmers_compact_variants(compact):
     """Super-k-mers now ride the row-local compaction (index plane moved
     in lockstep with the packed plane); the generic flat butterfly stays
@@ -386,10 +386,11 @@ def test_fused_superkmers_compact_variants(compact):
 
 def test_fused_halo_bound_and_large_w_fallback(monkeypatch):
     """The fused kernel's geometry bounds (fused_supported): the per-row
-    halo caps l - 1 at TAIL. At the exact bound the kernel is bit-exact;
-    beyond it the public dispatch falls back to the XLA pipeline (which
-    covers the reference's full w < 2^15 range, src/sliding_min.rs:93-95)
-    instead of tripping kernel asserts."""
+    halo caps l - 1 at TAIL for byte-striped (general text) inputs and at
+    ROWSTRIPED_MAX_HALO for row-striped DNA. At the exact TAIL bound the
+    kernel is bit-exact; beyond the applicable bound the public dispatch
+    falls back to the XLA pipeline (which covers any w,
+    src/sliding_min.rs:93-95) instead of tripping kernel asserts."""
     from simd_minimizers_tpu.ops import backend
     from simd_minimizers_tpu.ops import fused as F
 
@@ -403,17 +404,20 @@ def test_fused_halo_bound_and_large_w_fallback(monkeypatch):
     h = NtHasher(k, canonical=False)
     got = F.fused_sketch(codes, k, w, h, C=C, interpret=True)
     np.testing.assert_array_equal(got, _want(codes, k, w, h))
-    # one past the bound: unsupported, and the dispatch (with a fused
-    # backend forced) routes to the pipeline with oracle-exact results
+    # one past the bound: unsupported for text; DNA rides the wider
+    # row-striped halo until ROWSTRIPED_MAX_HALO
     assert not F.fused_supported(k, w + 1, C)
-    assert not F.fused_supported(5, (1 << 16) - 1024 + 2, 1024)  # col bits
+    assert F.fused_supported(k, w + 1, C, dna=True)
+    assert not F.fused_supported(5, (1 << 16) - 1024 + 2, 1024, dna=True)
+    # dispatch with a fused backend forced: a text input past the TAIL
+    # bound routes to the pipeline with oracle-exact results
     monkeypatch.setattr(backend, "_use_fused", lambda: True)
     k2, w2 = 21, 1100
     codes2 = rng.integers(0, 4, 20000, dtype=np.uint8)
     h2 = NtHasher(k2, canonical=False)
-    got2 = backend.sketch(codes2, k2, w2, h2, dna=True)
+    got2 = backend.sketch(codes2, k2, w2, h2, dna=False)
     np.testing.assert_array_equal(got2, _want(codes2, k2, w2, h2))
-    got3 = backend.sketch_records([codes2], k2, w2, h2, dna=True)[0]
+    got3 = backend.sketch_records([codes2], k2, w2, h2, dna=False)[0]
     np.testing.assert_array_equal(got3, got2)
 
 
@@ -430,4 +434,76 @@ def test_fused_mxu_paint_fallback_large_l():
     codes = rng.integers(0, 4, 60000, dtype=np.uint8)
     h = NtHasher(150)  # k=150, w=111 -> l=260
     got = F.fused_sketch(codes, 150, 111, h, interpret=True)
+    np.testing.assert_array_equal(got, _want(codes, 150, 111, h))
+
+
+@pytest.mark.parametrize("mode", ["minimizers", pipeline.MODE_CLOSED_SYNCMERS])
+def test_fused_skip_ambiguous_clustered(mode):
+    """Skip-ambiguous with CLUSTERED Ns (the real-genome shape: most
+    blocks clean). The kernel gates the ambiguity-plane DMA + decode +
+    fold per block on a prefetched any-ambiguity scalar, so clean blocks
+    skip that work entirely — this test drives both branches, including
+    an N that lives only in a previous block's HALO (the windows that
+    straddle the block seam must still see it through the halo span of
+    the row-striped wire format). Reference semantics:
+    /root/reference/src/minimizers.rs:169-214."""
+    rng = np.random.default_rng(0xA3B)
+    k, w = 5, 7
+    n = 30000  # > 3 blocks at C=1024 (BC=8192)
+    codes = rng.integers(0, 4, n, dtype=np.uint8)
+    amb = np.zeros(n, np.uint8)
+    amb[9000:9040] = 1          # cluster inside block 1
+    amb[8193] = 1               # block 1's head == block 0's halo
+    amb[n - 10] = 1             # tail block
+    h = NtHasher(k, canonical=True)
+    got = fused_sketch(codes, k, w, h, ambiguous_np=amb, C=C,
+                       mode=mode, interpret=True)
+    np.testing.assert_array_equal(
+        got, _want(codes, k, w, h, mode=mode, ambiguous=amb))
+    # all-clean plane: every block takes the gated (skip) branch
+    got2 = fused_sketch(codes, k, w, h, ambiguous_np=np.zeros(n, np.uint8),
+                        C=C, mode=mode, interpret=True)
+    np.testing.assert_array_equal(
+        got2, _want(codes, k, w, h, mode=mode,
+                    ambiguous=np.zeros(n, np.uint8)))
+
+
+def test_fused_large_w_rowstriped_halo():
+    """Row-striped (DNA) inputs support halos far past TAIL: the 2-D
+    (rows, SPW_PAD) wire format has no TAIL coupling (each block DMAs 8
+    whole rows), so l - 1 is capped at ROWSTRIPED_MAX_HALO instead. This
+    covers the reference's full w < 2^15 range at full fused speed
+    (/root/reference/src/sliding_min.rs:93-95) instead of falling back
+    to the XLA pipeline. Byte-striped (general text) inputs keep the
+    TAIL cap."""
+    from simd_minimizers_tpu.ops import fused as F
+
+    assert F.fused_supported(21, 1100, 1024, dna=True)
+    assert F.fused_supported(21, 32767, 8192, dna=True)
+    assert not F.fused_supported(21, 1100, 1024)  # striped8: TAIL cap
+    assert not F.fused_supported(
+        21, F.ROWSTRIPED_MAX_HALO + 2 - 21 + 1, 1024, dna=True)
+    rng = np.random.default_rng(0xB17)
+    for k, w, canonical in [(21, 1100, False), (5, 1501, True)]:
+        n = (k + w - 1) + 20000
+        codes = rng.integers(0, 4, n, dtype=np.uint8)
+        h = NtHasher(k, canonical=canonical)
+        got = F.fused_sketch(codes, k, w, h, C=C, interpret=True, dna=True)
+        np.testing.assert_array_equal(got, _want(codes, k, w, h))
+
+
+def test_rowf32_wide_exactness_bound():
+    """The f32 one-hot paint (compact="rowf32") is exact up to 2^24, so
+    it keeps the MXU paint where the bf16 2-limb bound (8C + l <= 65791)
+    forces rowmxu* to degrade to the masked-add paint — l > 255 stays
+    MXU-painted and bit-exact."""
+    from simd_minimizers_tpu.ops import fused as F
+
+    assert F._mxu_paint_enabled("minimizers", "rowf32", 8192, 260)
+    assert not F._mxu_paint_enabled("minimizers", "rowmxu3", 8192, 260)
+    rng = np.random.default_rng(0x261)
+    codes = rng.integers(0, 4, 60000, dtype=np.uint8)
+    h = NtHasher(150)  # k=150, w=111 -> l=260
+    got = F.fused_sketch(codes, 150, 111, h, interpret=True,
+                         compact="rowf32")
     np.testing.assert_array_equal(got, _want(codes, 150, 111, h))

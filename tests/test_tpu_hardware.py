@@ -78,6 +78,37 @@ def test_fused_fuzz_on_tpu():
     np.testing.assert_array_equal(got[0], want[0], err_msg="superkmers G>2 pos")
     np.testing.assert_array_equal(got[1], want[1], err_msg="superkmers G>2 idx")
 
+    # clustered ambiguity across several blocks: drives BOTH branches of
+    # the per-block amb gate (clean blocks skip the amb DMA + decode +
+    # fold entirely) and the mixed-block seams on real DMA semantics —
+    # uniform 1% masks flag every 64Kbp block, so the loop above never
+    # takes the skip branch on silicon
+    k, w = 21, 11
+    codes = rng.integers(0, 4, 400_000, dtype=np.uint8)
+    amb = np.zeros(400_000, np.uint8)
+    amb[150_000:150_060] = 1      # one block's interior
+    amb[65_540] = 1               # within block 0's halo span
+    h = NtHasher(k, canonical=True)
+    got = fused_sketch(codes, k, w, h, ambiguous_np=amb)
+    want = oracle.collect_and_dedup(
+        oracle.selected_stream(codes, k, w, h, ambiguous=amb),
+        skip_sentinel=True)
+    np.testing.assert_array_equal(got, want, err_msg="clustered skip-amb")
+
+    # large-w row-striped halo (> TAIL) through the compiled kernel
+    h = NtHasher(21, canonical=True)
+    codes = rng.integers(0, 4, 120_000, dtype=np.uint8)
+    got = fused_sketch(codes, 21, 2047, h, dna=True)
+    want = oracle.collect_and_dedup(
+        oracle.selected_stream(codes, 21, 2047, h))
+    np.testing.assert_array_equal(got, want, err_msg="large-w halo on chip")
+
+    # rowf32 compaction: f32 one-hot dots must hold exact integer routing
+    # on the real MXU (precision=HIGHEST; interpret mode cannot prove it)
+    got = fused_sketch(codes, 21, 11, h, compact="rowf32")
+    want = oracle.collect_and_dedup(oracle.selected_stream(codes, 21, 11, h))
+    np.testing.assert_array_equal(got, want, err_msg="rowf32 on chip")
+
     # byte-striped input modes (general text; ascii-DNA folded on device)
     text = rng.integers(32, 127, 50000, dtype=np.uint8)
     h = MulHasher(7)
