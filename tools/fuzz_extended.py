@@ -24,7 +24,9 @@ N_CFG = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 t0 = time.time()
 for i in range(N_CFG):
     k = int(rng.integers(1, 65))
-    w = int(rng.integers(1, 40))
+    # ~1 in 8 configs drive the large-w row-striped halo (l - 1 > TAIL)
+    w = (int(rng.integers(1, 40)) if rng.random() < 0.875
+         else int(rng.integers(1025, 2600)))
     l = k + w - 1
     canonical = bool(rng.integers(0, 2)) and l % 2 == 1
     mode = rng.choice(["minimizers", "minimizers", "superkmers",
@@ -38,7 +40,16 @@ for i in range(N_CFG):
     n = int(rng.integers(l, 60000))
     codes = rng.integers(0, 4, n, dtype=np.uint8)
     amb_on = bool(rng.integers(0, 2)) and mode not in ("superkmers",)
-    amb = (rng.random(n) < 0.02).astype(np.uint8) if amb_on else None
+    if amb_on and rng.integers(0, 2):
+        # clustered Ns: most blocks clean -> drives the per-block amb
+        # gate's skip branch and mixed-block seams
+        amb = np.zeros(n, np.uint8)
+        start = int(rng.integers(0, n))
+        amb[start : start + int(rng.integers(1, 200))] = 1
+    elif amb_on:
+        amb = (rng.random(n) < 0.02).astype(np.uint8)
+    else:
+        amb = None
     # 8192 is the production default (DEF_C): the rowplace bit packing
     # (VBITS/SBITS) and the MXU rank limb ranges depend on C, so the
     # fuzz must cover it, not just the fast small geometries
@@ -47,8 +58,9 @@ for i in range(N_CFG):
     # every 6th config routes through the cross-record pipeline instead
     # (the same kernel, but spans + seam merges across record boundaries)
     via_records = i % 6 == 5
-    cfg = (i, k, w, mode, hcls.__name__, canonical, amb_on, C, G,
-           "rec" if via_records else "one")
+    compact = None
+    cfg = [i, k, w, mode, hcls.__name__, canonical, amb_on, C, G,
+           "rec" if via_records else "one"]
     try:
         if via_records:
             from simd_minimizers_tpu.ops.fused import sketch_records
@@ -59,8 +71,10 @@ for i in range(N_CFG):
                 span_chars=max(int(rng.integers(l + 1, max(n, l + 2) + 1)),
                                2 * l))[0]
         else:
+            compact = None if rng.random() < 0.7 else "rowf32"
+            cfg.append(compact or "def")
             got = fused_sketch(codes, k, w, h, mode=mode, ambiguous_np=amb,
-                               C=C, G=G, interpret=True)
+                               C=C, G=G, interpret=True, compact=compact)
         sel = oracle.selected_stream(codes, k, w, h, ambiguous=amb)
         if mode == "superkmers":
             want = oracle.collect_and_dedup_with_index(sel)
