@@ -68,16 +68,25 @@ DEF_C = 8192
 ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu",
                 "rowmxu2", "rowmxu3", "rowf32")
 
-# Production compaction. Round-5 on-chip 3x A/B (canonical k21 w11, 1e8
-# bp, bench/onchip_r5_results.json time_* rows): rowmxu3 (stacked
-# single-dot MXU paint — head/tail and hi/lo limbs ride the contraction
-# axis) 0.1397-0.1456 ns/bp vs rowmxu 0.1497-0.1526 on minimizers, and
-# 0.1930-0.1945 vs 0.2128-0.2165 on super-k-mers — every interleaved
-# pair, ~6%/~10% outside the noise band (round-4 ladder: rowmxu beat
-# rowplace 0.1496-0.1546 vs 0.1703-0.1724). Where the MXU paint doesn't
-# apply (l > 255 limb bound; _mxu_paint_enabled) the kernel
-# automatically degrades to the rowplace paint, so one default serves
-# every mode.
+# Production compaction: rowmxu3 (stacked single-dot MXU paint —
+# head/tail and hi/lo limbs ride the contraction axis). Committed
+# silicon evidence, all canonical k21 w11 at 1e8 bp:
+#   - minimizers: 0.1397-0.1456 vs rowmxu 0.1497-0.1526
+#     (bench/onchip_r5_results.json time_* rows, round-4 flip);
+#     post-rel-hash band 0.1363-0.1399
+#     (bench/onchip_r5c_results.json time_min_rowmxu3_*)
+#   - super-k-mers: 0.1903-0.1911 vs rowmxu 0.2101-0.2151, every
+#     interleaved pair (onchip_r5c_results.json time_sk_* rows)
+#   - round-4 ladder context: rowmxu beat rowplace 0.1496-0.1546 vs
+#     0.1703-0.1724 (onchip_r4_results.json)
+# Round-5 "rowf32" challenger (f32 one-hot dots at precision=HIGHEST,
+# no limb splits) REJECTED with measurement: verified bit-exact on
+# silicon but 0.1780-0.1807 min / 0.2447-0.2478 sk — the 3-6x
+# multi-pass cost of exact f32 MXU matmuls outweighs the limb prep it
+# removes (onchip_r5c_results.json time_min_rowf32_* / time_sk_rowf32_*).
+# Kept behind --compact rowf32; note its wider exactness bound keeps the
+# MXU paint for l > 255 where rowmxu3 degrades to the rowplace paint
+# (_mxu_paint_enabled), so one default serves every mode either way.
 DEF_COMPACT = "rowmxu3"
 
 

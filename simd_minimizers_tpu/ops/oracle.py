@@ -45,9 +45,17 @@ def window_lr_min(hashes: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
     nw = len(hv) - w + 1
     if nw <= 0:
         return np.zeros(0, dtype=np.uint32), np.zeros(0, dtype=np.uint32)
-    wins = _window_view(hv, w)  # (nw, w)
-    lpos = wins.argmin(axis=1)  # first occurrence = leftmost
-    rpos = w - 1 - wins[:, ::-1].argmin(axis=1)  # last occurrence = rightmost
+    # same naive per-window argmin, processed in row CHUNKS so the
+    # (nw, w) view's argmin copies stay bounded (large w, e.g. 32767,
+    # would otherwise materialize hundreds of GiB)
+    chunk = max(1, (1 << 25) // max(w, 1))
+    lpos = np.empty(nw, dtype=np.int64)
+    rpos = np.empty(nw, dtype=np.int64)
+    for s in range(0, nw, chunk):
+        e = min(s + chunk, nw)
+        wins = _window_view(hv[s : e + w - 1], w)  # (e - s, w)
+        lpos[s:e] = wins.argmin(axis=1)  # first occurrence = leftmost
+        rpos[s:e] = w - 1 - wins[:, ::-1].argmin(axis=1)  # last = rightmost
     base = np.arange(nw, dtype=np.uint32)
     return (base + lpos.astype(np.uint32)), (base + rpos.astype(np.uint32))
 
