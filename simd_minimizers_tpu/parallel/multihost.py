@@ -138,7 +138,10 @@ def local_shard_sketch(
     from ..ops import fused
 
     mesh = mesh or shard.default_mesh(local_only=True)
-    if backend._use_fused() and fused.fused_supported(k, w):
+    # fused_sharded_sketch takes 2-bit codes by contract (it packs the
+    # row-striped wire format unconditionally), so the wider row-striped
+    # halo bound applies: large w stays on the fused path here too
+    if backend._use_fused() and fused.fused_supported(k, w, dna=True):
         res = shard.fused_sharded_sketch(local, k, w, hasher, mode=mode,
                                          ambiguous_np=local_amb, mesh=mesh)
     else:

@@ -261,3 +261,21 @@ def test_allgather_ragged_planes_lockstep(monkeypatch):
     with pytest.raises(AssertionError):
         multihost._allgather_ragged_planes(
             [np.zeros(3, np.uint32), np.zeros(4, np.uint32)], 1)
+
+
+def test_fused_sharded_large_w_on_mesh():
+    """Large-w (l - 1 > TAIL) rides the fused sharded path too: the
+    sharded kernel packs row-striped 2-bit codes by contract, so the
+    ROWSTRIPED_MAX_HALO bound applies (the multihost gate passes
+    dna=True). 8-dev CPU mesh, interpret mode, vs the oracle."""
+    from simd_minimizers_tpu.parallel import shard
+
+    k, w = 5, 1200
+    n = 60000
+    codes = RNG.integers(0, 4, n, dtype=np.uint8)
+    h = NtHasher(k, canonical=False)
+    mesh = shard.default_mesh()
+    got = shard.fused_sharded_sketch(codes, k, w, h, mesh=mesh, C=1024,
+                                     interpret=True)
+    sel = oracle.selected_stream(codes, k, w, h)
+    np.testing.assert_array_equal(got, oracle.collect_and_dedup(sel))
