@@ -329,3 +329,47 @@ def test_sketch_records_wave_budget_edges(mode, monkeypatch):
             np.testing.assert_array_equal(g[1], wnt[1])
         else:
             np.testing.assert_array_equal(g, wnt)
+
+
+def test_large_w_span_batch_records_interplay():
+    """Large w (l - 1 > TAIL, the round-5 row-striped halo extension)
+    through every driver that slices or pads around l: sketch_long's
+    overlapping u32-offset spans (span overlap = l - 1 > 1024), the
+    batch engine's stride bucketing (reads barely >= l), and
+    sketch_records' mixed lengths — all vs the oracle."""
+    import numpy as np
+
+    from simd_minimizers_tpu.hashers import NtHasher
+    from simd_minimizers_tpu.ops import oracle
+    from simd_minimizers_tpu.ops.batch import sketch_batch
+    from simd_minimizers_tpu.ops.fused import sketch_long, sketch_records
+
+    rng = np.random.default_rng(0x1A46)
+    k, w = 21, 1200
+    l = k + w - 1
+
+    def want(codes):
+        return oracle.collect_and_dedup(
+            oracle.selected_stream(codes, k, w, NtHasher(k)))
+
+    # spans: 3 overlapping spans, overlap l - 1 = 1220 > TAIL
+    codes = rng.integers(0, 4, 3 * 20000, dtype=np.uint8)
+    got = sketch_long(codes, k, w, NtHasher(k), C=1024, span_chars=20000,
+                      interpret=True)
+    np.testing.assert_array_equal(got, want(codes))
+
+    # batch: reads straddling one-window (len == l) through several blocks
+    reads = [rng.integers(0, 4, int(m), dtype=np.uint8)
+             for m in (l, l + 1, 3 * l, l - 1, 5000)]
+    rid, pos = sketch_batch(reads, k, w, NtHasher(k), C=1024, dna=True,
+                            interpret=True)
+    for i, rd in enumerate(reads):
+        w_i = want(rd) if len(rd) >= l else np.zeros(0, np.uint32)
+        np.testing.assert_array_equal(pos[rid == i], w_i, err_msg=f"read {i}")
+
+    # records: per-record spans with the large halo
+    recs = [rng.integers(0, 4, m, dtype=np.uint8) for m in (25000, l, 40000)]
+    outs = sketch_records(recs, k, w, NtHasher(k), C=1024, interpret=True,
+                          span_chars=21000)
+    for rec, o in zip(recs, outs):
+        np.testing.assert_array_equal(o, want(rec))
