@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--compact", default=None,  # None = fused.DEF_COMPACT
                     choices=["flat", "rowplace", "rowplace4", "rowsign",
                              "rowmxu", "rowsignmxu", "rowmxu2", "rowmxu3",
-                             "rowf32"])
+                             "rowf32", "rowmxu4"])
     ap.add_argument("--hashimpl", default=None, choices=["var", "rel"],
                     help="hash-fold implementation (None = fused.HASH_IMPL); "
                          "module-level like --rb, one variant per process")

@@ -66,7 +66,7 @@ DEF_C = 8192
 
 
 ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu",
-                "rowmxu2", "rowmxu3", "rowf32")
+                "rowmxu2", "rowmxu3", "rowf32", "rowmxu4")
 
 # Production compaction: rowmxu3 (stacked single-dot MXU paint —
 # head/tail and hi/lo limbs ride the contraction axis). Committed
@@ -87,6 +87,10 @@ ROW_COMPACTS = ("rowplace", "rowplace4", "rowsign", "rowmxu", "rowsignmxu",
 # Kept behind --compact rowf32; note its wider exactness bound keeps the
 # MXU paint for l > 255 where rowmxu3 degrades to the rowplace paint
 # (_mxu_paint_enabled), so one default serves every mode either way.
+# "rowmxu4" (int8 chunk-32 rank: s8 dots verified exact on silicon, 5
+# cumsum stages instead of 7) also REJECTED 3/3: 0.1449-0.1465 vs
+# 0.1371-0.1408 — the wider collapse/expand dots and s8 relayouts cost
+# more than the two stages saved (onchip_r5d_results.json).
 DEF_COMPACT = "rowmxu3"
 
 
@@ -144,7 +148,8 @@ def _mxu_paint_enabled(mode: str, compact: str, C: int, l: int) -> bool:
         return (_rowplace_enabled(compact, C, l)
                 and 8 * C + l + 1 < (1 << 24))
     return (_rowplace_enabled(compact, C, l)
-            and compact in ("rowmxu", "rowsignmxu", "rowmxu2", "rowmxu3")
+            and compact in ("rowmxu", "rowsignmxu", "rowmxu2", "rowmxu3",
+                            "rowmxu4")
             and 8 * C + l <= 65791)
 
 
@@ -512,16 +517,22 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
     W_MAX = out_cap - BCP - TAIL  # TAIL-aligned by construction below
 
     rowplace_k = _rowplace_enabled(compact, C, l)
-    NCH_K = C // 128 if rowplace_k else 0
+    CHW = 32 if compact == "rowmxu4" else 128  # rank chunk width
+    NCH_K = C // CHW if rowplace_k else 0
     # "rank"/"bfly" ablation points only exist inside the row-local
     # compaction; the flat path would silently run the full kernel.
     assert ablate != "bfly" or rowplace_k, \
         "--ablate bfly requires a row-local compact variant"
 
-    # MXU element dtype for the one-hot rank/paint matmuls: rowf32 runs
-    # f32 dots at precision=HIGHEST (exact to 2^24, no limb splits); the
-    # bf16 variants stay exact via <= 8-bit limbs.
-    MXF = jnp.float32 if compact == "rowf32" else jnp.bfloat16
+    # MXU element dtype for the one-hot RANK matmuls (the paint's dtype
+    # is chosen separately in the paint section): rowf32 runs f32 dots
+    # at precision=HIGHEST (exact to 2^24, no limb splits); rowmxu4 runs
+    # s8 x s8 -> s32 dots over 32-wide chunks (exact by range: chunk
+    # sums <= 32, offsets split into 7-bit limbs), which shortens the
+    # intra-chunk cumsum from 7 roll stages to 5; the bf16 variants stay
+    # exact via <= 8-bit limbs over 128-wide chunks.
+    MXF = (jnp.float32 if compact == "rowf32"
+           else jnp.int8 if compact == "rowmxu4" else jnp.bfloat16)
     HIGHEST = jax.lax.Precision.HIGHEST
 
     def kernel(nw_ref, tab_ref, mul_ref, ambany_ref, codes_hbm, amb_hbm,
@@ -554,10 +565,10 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 # grid-invariant; build ONCE into VMEM scratch (Mosaic
                 # does not hoist across grid steps — rebuilding the
                 # ~1M-element (C, NCH) planes per block measurably costs)
-                jE = jax.lax.broadcasted_iota(I32, (C, NCH_K), 0) // 128
+                jE = jax.lax.broadcasted_iota(I32, (C, NCH_K), 0) // CHW
                 mE = jax.lax.broadcasted_iota(I32, (C, NCH_K), 1)
                 e_scr[...] = (jE == mE).astype(MXF)
-                jE2 = jax.lax.broadcasted_iota(I32, (NCH_K, C), 1) // 128
+                jE2 = jax.lax.broadcasted_iota(I32, (NCH_K, C), 1) // CHW
                 mE2 = jax.lax.broadcasted_iota(I32, (NCH_K, C), 0)
                 e2_scr[...] = (jE2 == mE2).astype(MXF)
 
@@ -917,14 +928,16 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
             VBITS = (C + l).bit_length()
             if rowplace_k:
                 VMASK = U32((1 << VBITS) - 1)
-                NCH = C // 128
+                NCH = C // CHW
                 BF16 = jnp.bfloat16
                 base_off = jnp.int32(base).astype(U32) + off
-                # --- intra-128 inclusive cumsum of keep: 7 roll stages ---
-                lane_mod = jax.lax.broadcasted_iota(I32, (RB, C), 1) % 128
+                # --- intra-chunk inclusive cumsum of keep: log2(CHW)
+                # roll stages (7 at the bf16 chunk width 128; 5 under
+                # rowmxu4's int8 32-wide chunks) ---
+                lane_mod = jax.lax.broadcasted_iota(I32, (RB, C), 1) % CHW
                 xint = keep.astype(I32)
                 d = 1
-                while d < 128:
+                while d < CHW:
                     xint = xint + jnp.where(
                         lane_mod >= d, pltpu.roll(xint, d, axis=1), 0)
                     d *= 2
@@ -940,7 +953,28 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                 bT = jax.lax.broadcasted_iota(I32, (NCH, NCH), 1)
                 T = (aT < bT).astype(MXF)              # strict: exclusive scan
                 dn = (((1,), (0,)), ((), ()))
-                if compact == "rowf32":
+                if compact == "rowmxu4":
+                    # s8 x s8 -> s32 dots, exact by range: chunk sums
+                    # <= CHW = 32, exclusive offsets <= C split into
+                    # 7-bit limbs (<= 127 / <= 64) for the expand dots
+                    S8 = jnp.int8
+                    ch = jax.lax.dot_general(
+                        keep.astype(S8), E, dn,
+                        preferred_element_type=I32)          # (RB, NCH)
+                    ch_off = jax.lax.dot_general(
+                        ch.astype(S8), T, dn,
+                        preferred_element_type=I32)          # exclusive
+                    cho_i = ch_off                           # <= BC, exact
+                    hi = (cho_i >> 7).astype(S8)             # <= 64
+                    lo = (cho_i & 127).astype(S8)            # <= 127
+                    expand = (
+                        jax.lax.dot_general(
+                            hi, E2, dn,
+                            preferred_element_type=I32) * 128
+                        + jax.lax.dot_general(
+                            lo, E2, dn,
+                            preferred_element_type=I32))     # (RB, C)
+                elif compact == "rowf32":
                     # f32 dots at HIGHEST precision are exact to 2^24:
                     # chunk offsets (<= C) feed the expand dot directly —
                     # no 8-bit limb split, one expand dot instead of two
@@ -1233,7 +1267,7 @@ def _make_kernel(k, w, mode, skip_ambiguous, hasher_kind, canonical, rot_offset,
                             acc_i = dhi * U32(1 << 16) + dlo
                         overlay_finish(acc, acc_i if emit_idx else None)
                         return
-                    if compact == "rowmxu3":
+                    if compact in ("rowmxu3", "rowmxu4"):
                         # Stacked single-dot paint: head/tail AND hi/lo
                         # limbs ride the CONTRACTION axis of one
                         # (RB+1, 4RB) x (4RB, C) dot — the MXU pads the
@@ -1540,7 +1574,9 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             ])
     else:
         amb_any = jnp.zeros((2,), jnp.int32)
-    MXE = jnp.float32 if compact == "rowf32" else jnp.bfloat16
+    MXE = (jnp.float32 if compact == "rowf32"
+           else jnp.int8 if compact == "rowmxu4" else jnp.bfloat16)
+    NCHS = C // (32 if compact == "rowmxu4" else 128)
     out_shapes = (
         jax.ShapeDtypeStruct((cap,), jnp.uint32),
         jax.ShapeDtypeStruct((cap if emit_idx else TAIL,), jnp.uint32),
@@ -1574,8 +1610,8 @@ def _invoke_pallas(codes, ambiguous, nw, table, mul_const,
             pltpu.SMEM((2,), jnp.int32),
         ] + ([
             # grid-invariant one-hot rank matrices, filled once at g==0
-            pltpu.VMEM((C, C // 128), MXE),
-            pltpu.VMEM((C // 128, C), MXE),
+            pltpu.VMEM((C, NCHS), MXE),
+            pltpu.VMEM((NCHS, C), MXE),
         ] if _rowplace_enabled(compact, C, l) else []) + ([
             # rolled-row staging plane(s) for the MXU paint variants
             # (a second one for the super-k-mer index plane); the

@@ -22,3 +22,28 @@ else:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_executables_between_modules():
+    """Free compiled XLA executables after each test module.
+
+    Every XLA-CPU compiled program holds tens of mmap'd regions; one
+    full-suite process accumulates ~300 compiles and crosses the kernel
+    default vm.max_map_count (65530) right around test ~305, at which
+    point LLVM's JIT mmap fails and XLA SEGFAULTS (observed round 5:
+    deterministic crash in backend_compile_and_load at the same test
+    across fresh/warm persistent caches). Modules rarely share jit
+    entries, so per-module clearing costs little wall time and keeps the
+    map count bounded.
+    """
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

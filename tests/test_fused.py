@@ -262,7 +262,7 @@ def test_fused_extreme_k_w_edges():
 
 @pytest.mark.parametrize(
     "compact", ["rowplace4", "rowsign", "rowmxu", "rowsignmxu", "rowmxu2",
-                "rowmxu3", "rowf32"])
+                "rowmxu3", "rowf32", "rowmxu4"])
 def test_fused_compact_variants(compact):
     """Experimental row-local compaction variants (bench/exp_kernel.py
     --compact ...) stay bit-exact vs the default "rowplace": sign-bit
@@ -346,7 +346,7 @@ def test_mxu_paint_limb_guard():
 
 @pytest.mark.parametrize(
     "compact", ["flat", "rowplace", "rowsign", "rowmxu", "rowsignmxu",
-                "rowmxu2", "rowmxu3", "rowf32"])
+                "rowmxu2", "rowmxu3", "rowf32", "rowmxu4"])
 def test_fused_superkmers_compact_variants(compact):
     """Super-k-mers now ride the row-local compaction (index plane moved
     in lockstep with the packed plane); the generic flat butterfly stays
